@@ -1,0 +1,40 @@
+"""Test configuration.
+
+All tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (the driver separately dry-run-compiles the
+multi-chip path via __graft_entry__.dryrun_multichip).
+
+Float64 is enabled: the reference model (ec-jrc/lisflood-code) is float64
+end-to-end and the oracle comparisons are run at atol=1e-4 / rtol=1e-3
+(reference docs/4_annex_tests/index.md:27-30).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/tests/data"
+
+
+@pytest.fixture(scope="session")
+def etrs89_case():
+    path = os.path.join(REFERENCE_DATA, "LF_ETRS89_UseCase")
+    if not os.path.isdir(path):
+        pytest.skip("LF_ETRS89 test data not available")
+    return path
+
+
+@pytest.fixture(scope="session")
+def latlon_case():
+    path = os.path.join(REFERENCE_DATA, "LF_lat_lon_UseCase")
+    if not os.path.isdir(path):
+        pytest.skip("LF_lat_lon test data not available")
+    return path
