@@ -1,0 +1,150 @@
+"""Binding-driven static map loader.
+
+Re-implements the reference's `loadmap` semantics (add1.py:318-541): a
+binding value may be a constant float, a PCRaster map, or a netCDF map
+(single 2-D map, or a time stack selected at `timestepInit` for warm
+starts, with 'exact'/'closest' timestamp matching and average-year
+support). Maps are cut to the clone window, normalized to x-ascending /
+y-descending, masked and compressed to (P,) land-pixel vectors.
+"""
+from __future__ import annotations
+
+import datetime
+import os
+from bisect import bisect_left
+
+import numpy as np
+
+from . import csf
+from .ncdf import NcFile
+from .nctime import date_to_num, num_to_date
+from ..config.calendar import parse_date_or_step
+from ..utils.errors import LisfloodError
+
+
+def _normalize_xy(data, x, y):
+    """Flip to x ascending / y descending (reference add1.py:406-418)."""
+    if len(y) > 1 and y[0] < y[-1]:
+        data = np.flip(data, axis=-2)
+        y = y[::-1]
+    if len(x) > 1 and x[0] > x[-1]:
+        data = np.flip(data, axis=-1)
+        x = x[::-1]
+    return data, x, y
+
+
+def _take_closest_left(sorted_vals, number):
+    """Closest value with bisect, preferring the left/smaller one
+    (reference add1.py:544-565)."""
+    pos = bisect_left(sorted_vals, number)
+    if pos == 0:
+        return sorted_vals[0]
+    if pos == len(sorted_vals):
+        return sorted_vals[-1]
+    before, after = sorted_vals[pos - 1], sorted_vals[pos]
+    return after if after - number < number - before else before
+
+
+class MapLoader:
+    """Loads binding-named static maps as (P,) compressed vectors."""
+
+    def __init__(self, settings, grid):
+        self.settings = settings
+        self.binding = settings.binding
+        self.grid = grid
+        self._cache = {}
+
+    # ------------------------------------------------------------------
+    def load(self, name, timestampflag="exact", averageyearflag=False, default=None):
+        """Load binding `name` -> python float (constant) or (P,) float64."""
+        value = self.binding.get(name)
+        if value is None:
+            if default is not None:
+                return default
+            raise LisfloodError(f"No binding for map {name!r}")
+        try:
+            return float(value)
+        except (TypeError, ValueError):
+            pass
+        data2d = self._read_2d(name, value, timestampflag, averageyearflag)
+        return self.grid.compress(data2d, check_name=value).astype(np.float64)
+
+    def load_2d(self, name, timestampflag="exact", averageyearflag=False):
+        """Load binding `name` as the raw 2-D clone-window raster (float,
+        NaN = missing). For LDD / site / gauge maps that need 2-D topology."""
+        value = self.binding.get(name)
+        if value is None:
+            raise LisfloodError(f"No binding for map {name!r}")
+        return self._read_2d(name, value, timestampflag, averageyearflag)
+
+    # ------------------------------------------------------------------
+    def _read_2d(self, name, value, timestampflag, averageyearflag):
+        if value.endswith(".map") and os.path.exists(value):
+            m = csf.read_map(value)
+            if (m.nrows, m.ncols) != (self.grid.nrows, self.grid.ncols):
+                raise LisfloodError(f"{value} has a different size than the clone map")
+            data = m.data.astype(np.float64)
+            data[m.mv_mask] = np.nan
+            return data
+        path = os.path.splitext(value)[0] + ".nc"
+        with NcFile(path) as nc:
+            varname = nc.main_variable()
+            xd, yd = nc.spatial_dims
+            x = nc.coord(xd)
+            y = nc.coord(yd)
+            x_sorted = np.sort(x)
+            y_sorted = np.sort(y)[::-1]
+            cut0, cut1, cut2, cut3 = self.grid.cut_window(x_sorted, y_sorted)
+
+            if nc.has_time and self.settings.timestep_init:
+                data = self._select_stack_step(nc, varname, timestampflag, averageyearflag)
+            else:
+                data = nc.read(varname)
+                if data.ndim == 3:
+                    data = data[0]
+            data, x, y = _normalize_xy(data, x, y)
+            data = data[..., cut2:cut3, cut0:cut1]
+            data = np.asarray(data, dtype=np.float64)
+            fv = nc.fill_value(varname)
+            if fv is not None and not np.isnan(fv):
+                data = np.where(data == fv, np.nan, data)
+            return data
+
+    def _select_stack_step(self, nc, varname, timestampflag, averageyearflag):
+        """Select the timestepInit slice inside a state-map stack
+        (reference add1.py:424-484)."""
+        binding = self.binding
+        t_vals = nc.time_values()
+        t_units = nc.time_units()
+        t_cal = nc.time_calendar()
+        timestep_init = self.settings.timestep_init
+        parsed = parse_date_or_step(timestep_init, binding["calendar_type"])
+        if isinstance(parsed, datetime.datetime):
+            target_date = parsed
+        else:
+            begin = parse_date_or_step(binding["CalendarDayStart"], binding["calendar_type"])
+            dt_day = float(binding["DtSec"]) / 86400.0
+            target_date = begin + datetime.timedelta(days=(parsed - 1) * dt_day)
+        if averageyearflag:
+            ref_year = num_to_date(t_vals[0], t_units, t_cal).year
+            try:
+                target_date = target_date.replace(year=ref_year)
+            except ValueError:
+                target_date = target_date.replace(day=28, year=ref_year)
+        target = date_to_num(target_date, t_units, t_cal)
+        if target not in t_vals:
+            if timestampflag == "exact":
+                raise LisfloodError(
+                    f"time step {int(target) + 1} is not stored in {nc.path}")
+            target = _take_closest_left(sorted(t_vals.tolist()), target)
+        itime = int(np.where(t_vals == target)[0][0])
+        return nc.read(varname, index=itime)
+
+
+def defsoil(loader, name1, name2=None, name3=None):
+    """Load a parameter for the 3 land uses -> (3, P) array or list of
+    scalars (reference add1.py:64-88; missing names fall back to name1)."""
+    v1 = loader.load(name1) if isinstance(name1, str) else name1
+    v2 = (loader.load(name2) if isinstance(name2, str) else name2) if name2 is not None else v1
+    v3 = (loader.load(name3) if isinstance(name3, str) else name3) if name3 is not None else v1
+    return [v1, v2, v3]
