@@ -159,7 +159,7 @@ def load_settings(settings_file, sys_args=(), opts_to_set=(), opts_to_unset=(), 
     # lfoptions over defaults
     options = default_options()
     for node in dom.getElementsByTagName("lfoptions")[0].getElementsByTagName("setoption"):
-        options[node.attributes["name"].value] = bool(int(node.attributes["choice"].value))
+        options[node.attributes["name"].value.strip()] = bool(int(node.attributes["choice"].value))
     for opt in opts_to_set:
         options[opt] = True
     for opt in opts_to_unset:

@@ -66,7 +66,13 @@ class MapLoader:
             return float(value)
         except (TypeError, ValueError):
             pass
-        data2d = self._read_2d(name, value, timestampflag, averageyearflag)
+        data2d, from_int = self._read_2d_typed(name, value, timestampflag, averageyearflag)
+        if from_int:
+            # integer source maps (sites, regions, ldd): missing cells inside
+            # the mask keep a -9999 sentinel instead of raising (the
+            # reference's NaN check only applies to float maps, add1.py:277-280)
+            vec = self.grid.compress(data2d)
+            return np.where(np.isnan(vec), -9999.0, vec).astype(np.float64)
         return self.grid.compress(data2d, check_name=value).astype(np.float64)
 
     def load_2d(self, name, timestampflag="exact", averageyearflag=False):
@@ -75,17 +81,17 @@ class MapLoader:
         value = self.binding.get(name)
         if value is None:
             raise LisfloodError(f"No binding for map {name!r}")
-        return self._read_2d(name, value, timestampflag, averageyearflag)
+        return self._read_2d_typed(name, value, timestampflag, averageyearflag)[0]
 
     # ------------------------------------------------------------------
-    def _read_2d(self, name, value, timestampflag, averageyearflag):
+    def _read_2d_typed(self, name, value, timestampflag, averageyearflag):
         if value.endswith(".map") and os.path.exists(value):
             m = csf.read_map(value)
             if (m.nrows, m.ncols) != (self.grid.nrows, self.grid.ncols):
                 raise LisfloodError(f"{value} has a different size than the clone map")
             data = m.data.astype(np.float64)
             data[m.mv_mask] = np.nan
-            return data
+            return data, not np.issubdtype(m.data.dtype, np.floating)
         path = os.path.splitext(value)[0] + ".nc"
         with NcFile(path) as nc:
             varname = nc.main_variable()
@@ -102,13 +108,14 @@ class MapLoader:
                 data = nc.read(varname)
                 if data.ndim == 3:
                     data = data[0]
+            from_int = not np.issubdtype(data.dtype, np.floating)
             data, x, y = _normalize_xy(data, x, y)
             data = data[..., cut2:cut3, cut0:cut1]
             data = np.asarray(data, dtype=np.float64)
             fv = nc.fill_value(varname)
             if fv is not None and not np.isnan(fv):
                 data = np.where(data == fv, np.nan, data)
-            return data
+            return data, from_int
 
     def _select_stack_step(self, nc, varname, timestampflag, averageyearflag):
         """Select the timestepInit slice inside a state-map stack
