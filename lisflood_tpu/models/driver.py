@@ -1,0 +1,304 @@
+"""Run driver: time loop, forcing pipeline, and output writing.
+
+Equivalent of the reference's lisfloodexe + DynamicFramework run loop
+(main.py:56-157, zusatz.py:116-171) and the output module
+(output.py:485-586): per step it assembles the forcing dict on host,
+invokes the jitted step, and feeds the declarative output system
+(netCDF map stacks + PCRaster-style TSS gauge series).
+"""
+from __future__ import annotations
+
+import datetime
+import os
+import re
+import time as _time
+
+import numpy as np
+
+from ..config.calendar import parse_date_or_step
+from ..io.forcing import ForcingReader, run_dates
+from ..io import ncdf
+from ..io.tss import TssWriter
+from ..io.csf import write_map, VS_SCALAR
+from ..utils.errors import LisfloodError
+from .initial import build_model
+from .step import build_step
+
+_INDEXED = re.compile(r"^(\w+)\[(\d+)\]$")
+
+
+def resolve_output(diag, expr):
+    """Resolve a ReportedMap/TimeSeries output_var expression ('LZ',
+    'Theta1a[2]') against the diagnostics dict."""
+    m = _INDEXED.match(expr)
+    if m:
+        return np.asarray(diag[m.group(1)])[int(m.group(2))]
+    return np.asarray(diag[expr])
+
+
+class GaugeSampler:
+    """PCRaster TimeoutputTimeseries sampling: per gauge-id region average
+    (zusatz.py:294-400 + pcraster areaaverage semantics)."""
+
+    def __init__(self, ids_vec):
+        ids_vec = np.nan_to_num(np.asarray(ids_vec), nan=0.0).astype(np.int64)
+        self.ids = np.unique(ids_vec[ids_vec > 0])
+        self.masks = [ids_vec == gid for gid in self.ids]
+
+    def sample(self, values):
+        values = np.asarray(values)
+        return np.array([values[m].mean() if m.any() else np.nan for m in self.masks])
+
+
+class MapStackWriter:
+    """netCDF stack writer for one reported map (output.py:68-167 +
+    netcdf.py:432-584)."""
+
+    def __init__(self, settings, grid, map_key, entry, rep_steps, frequency, single):
+        self.settings = settings
+        self.grid = grid
+        self.map_key = map_key
+        self.entry = entry
+        self.frequency = frequency
+        self.single = single          # end map: single 2-D field
+        path = settings.binding.get(map_key)
+        self.path = os.path.normpath(path) + ".nc"
+        self.var_name = os.path.basename(os.path.normpath(path))
+        self.rep_steps = list(rep_steps) if rep_steps is not None else None
+        self._file = None
+        self._index = 0
+
+    def _create(self):
+        binding = self.settings.binding
+        f = ncdf.create_nc(self.path)
+        f.attrs["settingsfile"] = self.settings.settings_path
+        f.attrs["date_created"] = _time.ctime()
+        f.attrs["Source_Software"] = "LISFLOOD-TPU"
+        f.attrs["source"] = "Lisflood output maps"
+        f.attrs["Conventions"] = "CF-1.6"
+        ncdf.add_dimension(f, "x", self.grid.coords_x(), {"units": "Meter", "standard_name": "projection_x_coordinate"})
+        ncdf.add_dimension(f, "y", self.grid.coords_y(), {"units": "Meter", "standard_name": "projection_y_coordinate"})
+        dtype = binding.get("OutputMapsDataType", "float64")
+        attrs = {"standard_name": self.map_key, "long_name": self.entry.output_var, "units": self.entry.unit}
+        if self.single:
+            ds = ncdf.add_variable(f, self.var_name, ("y", "x"), dtype, fill_value=-9999.0, attrs=attrs)
+        else:
+            dt_sec = float(binding["DtSec"])
+            start = parse_date_or_step(binding["CalendarDayStart"], binding["calendar_type"])
+            if dt_sec >= 86400:
+                units = "days since %s" % start.strftime("%Y-%m-%d %H:%M:%S.0")
+            elif dt_sec >= 3600:
+                units = "hours since %s" % start.strftime("%Y-%m-%d %H:%M:%S.0")
+            else:
+                units = "minutes since %s" % start.strftime("%Y-%m-%d %H:%M:%S.0")
+            ncdf.add_unlimited_time(f, units, binding["calendar_type"])
+            ds = ncdf.add_variable(f, self.var_name, ("time", "y", "x"), dtype,
+                                   fill_value=-9999.0, chunks=(1, self.grid.nrows, self.grid.ncols), attrs=attrs)
+        self._file = f
+        return f
+
+    def write_step(self, date, vec):
+        if self._file is None:
+            self._create()
+        data2d = self.grid.decompress(np.asarray(vec, dtype=np.float64))
+        data2d = np.where(np.isnan(data2d), -9999.0, data2d)
+        if self.single:
+            self._file[self.var_name][:, :] = data2d
+        else:
+            ncdf.append_time_step(self._file, self.var_name, date, data2d)
+
+    def close(self):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+
+class OutputManager:
+    """Declarative outputs: builds all active map writers and TSS samplers
+    from the settings registries (output.py:387-447,485-586)."""
+
+    def __init__(self, settings, grid, params, aux, config):
+        self.settings = settings
+        self.grid = grid
+        self.config = config
+        binding = settings.binding
+        self.rep_steps = [x for x in settings.report_steps
+                          if settings.step_start_int <= x <= settings.step_end_int]
+        self.map_writers = []       # (writer, trigger) trigger in {'end','steps','all'}
+        seen_paths = set()
+
+        def add(map_key, entry, trigger, frequency):
+            path = binding.get(map_key)
+            if not path:
+                return
+            if trigger == "steps" and not self.rep_steps:
+                return
+            w = MapStackWriter(settings, grid, map_key, entry, self.rep_steps, frequency,
+                               single=(trigger == "end"))
+            if w.path in seen_paths:
+                return
+            seen_paths.add(w.path)
+            self.map_writers.append((w, trigger, frequency))
+
+        for key, entry in settings.report_maps_end.items():
+            add(key, entry, "end", None)
+        for key, entry in settings.report_maps_steps.items():
+            freq = "monthly" if entry.monthly else ("yearly" if entry.yearly else "all")
+            add(key, entry, "steps", freq)
+        for key, entry in settings.report_maps_all.items():
+            freq = "monthly" if entry.monthly else ("yearly" if entry.yearly else "all")
+            add(key, entry, "all", freq)
+
+        # TSS
+        self.tss_writers = {}
+        self.tss_samplers = {}
+        loader = aux["loader"]
+        for name, ts in settings.report_timeseries.items():
+            where = ts.where
+            if where == "Catchments":
+                ids_vec = params["Catchments"]
+            else:
+                try:
+                    ids_vec = loader.load(where)
+                except LisfloodError:
+                    continue
+                if np.isscalar(ids_vec):
+                    continue
+            sampler = GaugeSampler(ids_vec)
+            path = binding.get(name)
+            if not path:
+                continue
+            self.tss_writers[name] = TssWriter(path, sampler.ids.tolist(),
+                                               settings_path=settings.settings_path,
+                                               write_header=not settings.flags.get("noheader"))
+            self.tss_samplers[name] = (sampler, ts)
+
+    def needed_fields(self):
+        fields = set()
+        for w, _, _ in self.map_writers:
+            m = _INDEXED.match(w.entry.output_var)
+            fields.add(m.group(1) if m else w.entry.output_var)
+        for _, (_, ts) in self.tss_samplers.items():
+            m = _INDEXED.match(ts.output_var)
+            fields.add(m.group(1) if m else ts.output_var)
+        return fields
+
+    def report(self, step, date, diag, monthend=False, yearend=False, is_last=False):
+        def freq_ok(freq):
+            return freq == "all" or freq is None or (freq == "monthly" and monthend) or (freq == "yearly" and yearend)
+
+        for w, trigger, freq in self.map_writers:
+            if trigger == "end":
+                if is_last:
+                    w.write_step(date, resolve_output(diag, w.entry.output_var))
+            elif trigger == "steps":
+                if step in self.rep_steps and freq_ok(freq):
+                    w.write_step(date, resolve_output(diag, w.entry.output_var))
+            else:  # all
+                if freq_ok(freq):
+                    w.write_step(date, resolve_output(diag, w.entry.output_var))
+
+        for name, (sampler, ts) in self.tss_samplers.items():
+            values = sampler.sample(resolve_output(diag, ts.output_var))
+            self.tss_writers[name].sample(step, values)
+
+    def close(self):
+        for w, _, _ in self.map_writers:
+            w.close()
+        for w in self.tss_writers.values():
+            w.flush()
+
+
+class LisfloodRunner:
+    """End-to-end deterministic run."""
+
+    def __init__(self, settings):
+        self.settings = settings
+        self.config, params_np, state_np, aux = build_model(settings)
+        self.aux = aux
+        self.grid = aux["grid"]
+        self.params_np = params_np
+        self.step_fn, self.params = build_step(self.config, params_np, aux)
+        import jax.numpy as jnp
+        self.state = {k: jnp.asarray(v) for k, v in state_np.items()}
+        binding = settings.binding
+
+        dates = run_dates(settings)
+        self.dates = dates
+        skip_val = settings.flags.get("skipvalreplace", False)
+        self.forcings = {}
+        for key, name in [("Precipitation", "PrecipitationMaps"), ("Tavg", "TavgMaps"),
+                          ("ETRef", "ET0Maps"), ("EWRef", "E0Maps")]:
+            self.forcings[key] = ForcingReader(binding[name], self.grid, dates,
+                                               skip_valid_replace=skip_val)
+        self.demand = {}
+        if self.config.water_use and self.config.transient_water_demand:
+            for key, name in [("DomesticDemandMM", "DomesticDemandMaps"),
+                              ("IndustrialDemandMM", "IndustrialDemandMaps"),
+                              ("LivestockDemandMM", "LivestockDemandMaps"),
+                              ("EnergyDemandMM", "EnergyDemandMaps")]:
+                self.demand[key] = ForcingReader(
+                    binding[name], self.grid, dates, indexer="ffill",
+                    climatology=self.config.water_demand_ave_year,
+                    skip_valid_replace=skip_val)
+
+        self.outputs = OutputManager(settings, self.grid, params_np, aux, self.config)
+        self.cal_day_start = aux["CalendarDayStart"]
+        self.lai_lookup = aux["lai_day_to_interval"]
+        self.varw_lookup = aux.get("varW_day_to_month")
+
+    def forcing_for(self, offset, date):
+        import jax.numpy as jnp
+        cal_day = int(date.strftime("%j"))
+        f = {
+            "Precipitation": jnp.asarray(self.forcings["Precipitation"][offset]),
+            "Tavg": jnp.asarray(self.forcings["Tavg"][offset]),
+            "ETRef": jnp.asarray(self.forcings["ETRef"][offset]),
+            "EWRef": jnp.asarray(self.forcings["EWRef"][offset]),
+            "CalendarDay": jnp.float64(cal_day),
+            "LAIInterval": jnp.int32(self.lai_lookup[cal_day]),
+        }
+        if self.varw_lookup is not None:
+            f["VarWMonth"] = jnp.int32(self.varw_lookup[cal_day])
+        if self.config.water_use:
+            dt_day = self.config.dt_day
+            if self.config.transient_water_demand:
+                for key in self.demand:
+                    f[key] = jnp.asarray(self.demand[key][offset]) * dt_day
+            else:
+                for key in ("DomesticDemandMM", "IndustrialDemandMM", "LivestockDemandMM", "EnergyDemandMM"):
+                    f[key] = jnp.asarray(self.params[key])
+        return f
+
+    def run(self, progress=False, max_steps=None):
+        settings = self.settings
+        start = settings.step_start_int
+        end = settings.step_end_int
+        n = end - start + 1
+        if max_steps is not None:
+            n = min(n, max_steps)
+        for offset in range(n):
+            step = start + offset
+            date = self.dates[offset]
+            f = self.forcing_for(offset, date)
+            self.state, diag = self.step_fn(self.state, f)
+            # month/year end flags: only meaningful when wateruse+indicator
+            # are both active (reference quirk, indicatorcalc.py:92-96)
+            monthend = yearend = False
+            if self.config.water_use and self.config.indicator:
+                nxt = date + datetime.timedelta(seconds=self.config.dt_sec)
+                monthend = nxt.month != date.month
+                yearend = nxt.year != date.year
+            self.outputs.report(step, date, diag, monthend, yearend, is_last=(step == end))
+            if progress:
+                print(f"\r{step} - {date:%d/%m/%Y %H:%M}", end="", flush=True)
+        if progress:
+            print()
+        self.outputs.close()
+        return self.state
+
+
+def lisfloodexe(settings):
+    runner = LisfloodRunner(settings)
+    runner.run(progress=not settings.flags.get("veryquiet"))
+    return runner

@@ -341,6 +341,7 @@ def build_model(settings, dtype=np.float64):
     chan_depth_th = _field(loader.load("ChanDepthThreshold"), P)
     chan_sdxdy = _field(loader.load("ChanSdXdY"), P)
     chan_upper_w = chan_bw + 2 * chan_sdxdy * chan_depth_th
+    params["ChanBottomWidth"] = chan_bw
     params["ChanUpperWidth"] = chan_upper_w
     params["TotalCrossSectionAreaBankFull"] = 0.5 * chan_depth_th * (chan_upper_w + chan_bw)
     tcsa_half = 0.5 * params["TotalCrossSectionAreaBankFull"]
@@ -794,4 +795,3 @@ def _split_mb_init(config, params, state, aux, option):
                 storage = storage + params["LakeStorageIniM3"]
             state["StorageStepINIT"] = _catchtotal(storage, catch, n)
             state["DischargeM3StructuresIni"] = _catchtotal(dis_structure, catch, n)
-    state["AddedTRUN"] = np.zeros(P)

@@ -1,0 +1,217 @@
+"""The jitted model step — assembly of all process kernels.
+
+`build_step(config, params, aux)` converts parameters to device arrays and
+returns a jitted pure function `step(state, forcing) -> (state, diag)`
+reproducing the reference's per-timestep driver order exactly
+(Lisflood_dynamic.py:38-268):
+
+  meteo -> land use -> LAI -> [inflow] -> snow -> frost -> canopy ->
+  soil columns -> open/sealed -> rice -> water abstraction -> per-pixel
+  aggregation -> groundwater -> open-water evaporation -> surface routing
+  -> sub-stepped channel routing -> water level -> water balance
+
+Option flags are resolved at trace time (config is static), so each
+configuration compiles to one specialized XLA executable.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import physics as ph
+from ..ops.routing_ops import channel_routing, surface_routing_step
+from ..ops.physics import segment_spread
+
+STATE_KEYS_BASE = [
+    "SnowCoverS", "FrostIndex", "CumInterception", "CumInterSealed",
+    "W1a", "W1b", "W2", "DSLR", "UZ", "LZ",
+    "TotalPrecipitation", "TaCUM", "TaInterceptionCUM", "ESActCUM",
+    "GwLossCUM", "LZInflowCUM",
+    "ChanQKin", "ChanM3Kin", "ChanQ", "CumQ", "avgdis",
+    "DischargeM3Out", "TotalQInM3", "sumDis", "sumInWB",
+    "OFM3Other", "OFM3Forest", "OFM3Direct",
+    "OFQDirect", "OFQOther", "OFQForest",
+    "EvaCumM3", "PaddyRiceWaterAbstractionFromSurfaceWaterM3",
+    "TimeSinceStart",
+]
+
+
+def state_keys(cfg):
+    keys = list(STATE_KEYS_BASE)
+    if cfg.split_routing and not cfg.init_lisflood:
+        keys += ["Chan2QKin", "Chan2M3Kin", "CrossSection2Area", "Sideflow1Chan"]
+    if cfg.simulate_lakes and not cfg.init_lisflood:
+        keys += ["LakeStorageM3CC", "LakeInflowOldCC", "LakeOutflowCC",
+                 "LakeStorageM3BalanceCC", "LakeLevelCC", "LakeStorageM3", "EWLakeCUMM3"]
+    if cfg.simulate_reservoirs and not cfg.init_lisflood:
+        keys += ["ReservoirStorageM3CC", "ReservoirFillCC", "ReservoirStorageM3"]
+    if cfg.water_use:
+        keys += ["ActualAccumulatedReUsedWaterM3", "IrriLossCUM", "wateruseCum",
+                 "cumulated_CH_withdrawal"]
+    if cfg.trans_loss:
+        keys += ["TransCum"]
+    if cfg.rep_mbts:
+        keys += ["WaterInit", "DischargeM3StructuresIni", "StorageStepINIT"]
+    return keys
+
+
+def build_step(cfg, params_np, aux, dtype=jnp.float64):
+    """Returns (step_fn, device_params). step_fn is jitted over (state, forcing)."""
+    p = {}
+    for k, v in params_np.items():
+        if isinstance(v, (int, float, np.floating, np.integer)):
+            p[k] = float(v) if not isinstance(v, (int, np.integer)) else v
+        elif isinstance(v, np.ndarray) and v.dtype.kind in "fb":
+            p[k] = jnp.asarray(v, dtype if v.dtype.kind == "f" else None)
+        else:
+            p[k] = jnp.asarray(v)
+
+    routers = {
+        "kin_chunks": jnp.asarray(aux["schedule_kin"].chunks),
+        "kin_down": jnp.asarray(aux["schedule_kin"].downstream),
+        "tochan_chunks": jnp.asarray(aux["schedule_tochan"].chunks),
+        "tochan_down": jnp.asarray(aux["schedule_tochan"].downstream),
+    }
+    catch = p["Catchments"]
+    ncatch = cfg.num_catchments
+    catchtotal = lambda x: segment_spread(x, catch, ncatch)
+
+    def step(s, f):
+        d = dict(f)  # diagnostics namespace, seeded with forcing
+        d["TimeSinceStart"] = s["TimeSinceStart"] + 1.0
+
+        # meteo scaling (readmeteo.py:44-81)
+        d["Precipitation"] = f["Precipitation"] * cfg.dt_day * p["PrScaling"]
+        tavg = f["Tavg"]
+        if cfg.temperature_in_kelvin:
+            tavg = tavg - 273.15
+        d["Tavg"] = tavg
+        d["ETRef"] = f["ETRef"] * cfg.dt_day * p["CalEvaporation"]
+        d["EWRef"] = f["EWRef"] * cfg.dt_day * p["CalEvaporation"]
+        d["ESRef"] = (d["EWRef"] + d["ETRef"]) / 2
+
+        # LAI selection (leafarea.py:76-90)
+        d["LAI"] = p["LAIX"][f["LAIInterval"]]
+
+        # variable water fraction (evapowater.py:96-121)
+        d.update(ph.evapowater_init_step(cfg, p, s, d))
+
+        # snow + frost
+        d.update(ph.snow_step(cfg, p, s, d))
+        d.update(ph.frost_step(cfg, p, s, d))
+
+        # canopy: interception, ET, transpiration
+        d.update(ph.canopy_step(cfg, p, s, d))
+        # soil columns
+        soil_in = dict(s)
+        soil_in["W1a"], soil_in["W1b"] = d["W1a"], d["W1b"]
+        d.update(ph.soil_columns_step(cfg, p, soil_in, d))
+        # open water and sealed surfaces
+        d.update(ph.opensealed_step(cfg, p, s, d))
+        # rice irrigation + water abstraction
+        if cfg.rice_irrigation:
+            d.update(ph.rice_irrigation_step(cfg, p, s, d))
+        else:
+            d["PaddyRiceWaterAbstractionFromSurfaceWaterM3"] = jnp.zeros_like(d["Rain"])
+        if cfg.water_use:
+            wa_state = dict(s)
+            wa_state["ChanM3Kin"] = s["ChanM3Kin"]
+            d["ChanM3Kin"] = s["ChanM3Kin"]
+            d["ChanQ"] = s["ChanQ"]
+            d.update(ph.water_abstraction_step(cfg, p, wa_state, d))
+        # per-pixel aggregation + groundwater
+        d.update(ph.soil_perpixel_step(cfg, p, s, d))
+        d.update(ph.groundwater_step(cfg, p, s, d))
+
+        if cfg.init_lisflood_without_split:
+            new_state = _collect_state(cfg, s, d)
+            return new_state, d
+
+        # open water evaporation
+        if cfg.open_water_evapo:
+            eva_d = dict(d)
+            eva_d["ChanM3Kin"] = s["ChanM3Kin"]
+            d.update(ph.evapowater_step(cfg, p, s, eva_d))
+
+        # surface routing
+        d.update(surface_routing_step(cfg, p, s, d, routers))
+
+        # channel routing substeps (incl. lakes/reservoirs/transmission)
+        route_state = dict(s)
+        for k in ("LakeStorageM3CC", "ReservoirStorageM3CC", "LakeStorageM3", "ReservoirStorageM3"):
+            if k in d:
+                route_state[k] = d[k]
+        d.update(channel_routing(cfg, p, route_state, d, routers))
+
+        # water level diagnostic
+        if cfg.simulate_water_levels:
+            d.update(ph.waterlevel_step(cfg, p, s, d))
+
+        # total water storage / mass balance (waterbalance.py:114-288)
+        if cfg.rep_total_water_storage or cfg.rep_mbts:
+            d.update(_waterbalance(cfg, p, s, d, catchtotal))
+
+        new_state = _collect_state(cfg, s, d)
+        return new_state, d
+
+    return jax.jit(step), p
+
+
+def _collect_state(cfg, s, d):
+    new_state = {}
+    for k in state_keys(cfg):
+        new_state[k] = d.get(k, s[k])
+    new_state["TimeSinceStart"] = d["TimeSinceStart"]
+    return new_state
+
+
+def _storage_channel(cfg, p, s, d):
+    """waterbalance.py:114-122."""
+    stored = d["ChanM3"]
+    if cfg.simulate_lakes:
+        stored = stored + d["LakeStorageM3Balance"]
+    if cfg.simulate_reservoirs:
+        stored = stored + d["ReservoirStorageM3"]
+    return stored
+
+
+def _storage_hillslope(cfg, p, s, d):
+    """waterbalance.py:124-128."""
+    hill1 = d["LZ"] + (p["SoilFraction"] * (d["CumInterception"] + d["W1a"] + d["W1b"] + d["W2"] + d["UZ"])).sum(0)
+    hillslope_mm = d["WaterDepth"] + d["SnowCover"] + hill1 + d["DirectRunoffFraction"] * d["CumInterSealed"]
+    return hillslope_mm * p["MMtoM3"]
+
+
+def _waterbalance(cfg, p, s, d, catchtotal):
+    out = {}
+    channel_stored = _storage_channel(cfg, p, s, d)
+    hillslope_stored = _storage_hillslope(cfg, p, s, d)
+    if cfg.rep_total_water_storage:
+        out["TotalWaterStorageMM"] = (channel_stored + hillslope_stored) * p["M3toMM"]
+    if cfg.rep_mbts and not cfg.init_lisflood:
+        sum_in = jnp.where(jnp.isnan(s["sumInWB"]), 0.0, s["sumInWB"])
+        water_in = catchtotal(sum_in) + catchtotal(d["TotalPrecipitationWB"] * p["MMtoM3"])
+        water_stored = catchtotal(channel_stored) + catchtotal(hillslope_stored)
+        hillslope_out = (d["TaWB"] + d["TaInterceptionWB"] + d["ESActWB"] + d["GwLossWB"]) * p["MMtoM3"]
+        sum1 = jnp.where(p["AtLastPointC"], d["ChanQAvg"], 0.0)
+        water_out = catchtotal(sum1 * cfg.dt_sec) + catchtotal(hillslope_out)
+        if cfg.simulate_lakes:
+            water_out = water_out + catchtotal(s["EWLakeCUMM3"] * 0.0)  # EWLakeWBM3 never updated (ref quirk)
+        if cfg.open_water_evapo:
+            water_out = water_out + catchtotal(d["EvaWBM3"])
+        if cfg.trans_loss:
+            water_out = water_out + catchtotal(d["TransCum"])
+        if cfg.water_use:
+            water_out = water_out + catchtotal(d["IrriLossCUM"]) + catchtotal(d["wateruseCum"])
+        dis_stru = jnp.where(p["IsUpsOfStructureKinematicC"], d["ChanQ"] * cfg.dt_routing, 0)
+        dis_structures = catchtotal(dis_stru)
+        if cfg.simulate_lakes:
+            dis_lake = jnp.zeros_like(d["Rain"]).at[p["LakeIndex"]].set(0.5 * d["LakeInflowCC"] * cfg.dt_routing)
+            dis_structures = dis_structures + catchtotal(dis_lake)
+        dis_structures = dis_structures - s["DischargeM3StructuresIni"]
+        mb_error = s["WaterInit"] + water_in - water_stored - water_out - dis_structures
+        out["MBError"] = mb_error
+        out["MBErrorMM"] = 1000.0 * mb_error / p["CatchArea"]
+        out["WaterInit"] = water_stored + dis_structures
+    return out

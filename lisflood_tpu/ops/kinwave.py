@@ -72,28 +72,38 @@ def _newton_solve(const_plus_ups, a_dx_div_dt, beta):
 
 
 @partial(jax.jit, static_argnames=("beta",))
-def _route(discharge, lateral_inflow, a_dx_div_dt, chunks, downstream, beta):
-    P = discharge.shape[0]
+def _route_batched(discharge, lateral_inflow, a_dx_div_dt, chunks, downstream, beta):
+    """Batched wavefront sweep: all (L, P) operands routed over the same
+    drainage schedule in one scan (the L lanes share chunk gathers/scatters,
+    so e.g. the 3 overland runoff lanes or main channel + floodplain compile
+    and run as a single kernel)."""
+    L, P = discharge.shape
     constant = a_dx_div_dt * discharge ** beta + lateral_inflow
 
-    # padded (P+1,) working arrays; slot P is scratch for pits and padding
-    pad = lambda x, v: jnp.concatenate([x, jnp.full((1,), v, x.dtype)])
+    # padded (L, P+1) working arrays; slot P is scratch for pits and padding
+    pad = lambda x, v: jnp.concatenate([x, jnp.full((L, 1), v, x.dtype)], axis=1)
     constant_p = pad(constant, 0.0)
     adx_p = pad(a_dx_div_dt, 1.0)
 
-    q_out = jnp.zeros(P + 1, discharge.dtype)
-    inflow = jnp.zeros(P + 1, discharge.dtype)
+    q_out = jnp.zeros((L, P + 1), discharge.dtype)
+    inflow = jnp.zeros((L, P + 1), discharge.dtype)
 
     def body(carry, chunk_pix):
         q_out, inflow = carry
-        c = inflow[chunk_pix] + constant_p[chunk_pix]
-        q = _newton_solve(c, adx_p[chunk_pix], beta)
-        q_out = q_out.at[chunk_pix].set(q)
-        inflow = inflow.at[downstream[chunk_pix]].add(q)
+        c = inflow[:, chunk_pix] + constant_p[:, chunk_pix]
+        q = _newton_solve(c, adx_p[:, chunk_pix], beta)
+        q_out = q_out.at[:, chunk_pix].set(q)
+        inflow = inflow.at[:, downstream[chunk_pix]].add(q)
         return (q_out, inflow), None
 
     (q_out, _), _ = jax.lax.scan(body, (q_out, inflow), chunks)
-    return q_out[:P]
+    return q_out[:, :P]
+
+
+def _route(discharge, lateral_inflow, a_dx_div_dt, chunks, downstream, beta):
+    """Single-lane wrapper over _route_batched."""
+    return _route_batched(discharge[None], lateral_inflow[None], a_dx_div_dt[None],
+                          chunks, downstream, beta)[0]
 
 
 @dataclass

@@ -1,0 +1,357 @@
+"""Channel routing step: surface runoff routing, the sub-stepped channel
+kinematic wave with lakes / reservoirs / transmission-loss / sideflow
+assembly, and split (floodplain) routing.
+
+Reproduces surface_routing.py:115-213, routing.py:435-706,
+lakes.py:199-298, reservoir.py:173-323, transmission.py:67-89,
+Lisflood_dynamic.py:176-230. The NoRoutSteps sub-step loop is a
+`lax.scan`; the kinematic wave itself is the wavefront scan in
+ops/kinwave.py.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .kinwave import _route, _route_batched
+from .physics import scatter_to_downstream, segment_spread
+
+
+def surface_routing_step(cfg, p, s, d, routers):
+    """Overland kinematic wave for 3 runoff lanes (surface_routing.py:115-213)."""
+    soil_frac = p["SoilFraction"]
+    surface_run_soil = soil_frac * jnp.maximum(d["AvailableWaterForInfiltration"] - d["Infiltration"], 0)
+    surface_runoff = d["DirectRunoff"] + surface_run_soil.sum(0)
+    total_runoff = surface_runoff + d["UZOutflowPixel"] + d["LZOutflowToChannelPixel"]
+
+    mmto_m3 = p["MMtoM3"]
+    inv_pl = 1.0 / p["PixelLength"]
+    inv_dt = 1.0 / cfg.dt_sec
+    sideflow_direct = d["DirectRunoff"] * mmto_m3 * inv_pl * inv_dt
+    sideflow_other = (surface_run_soil[0] + surface_run_soil[2]) * mmto_m3 * inv_pl * inv_dt
+    sideflow_forest = surface_run_soil[1] * mmto_m3 * inv_pl * inv_dt
+
+    chunks, down = routers["tochan_chunks"], routers["tochan_down"]
+    beta = p["Beta"]
+    # OFAlpha lanes [Other, Forest, Direct]; a_dx_div_dt = alpha * dx / dt
+    dx = p["PixelLength"]
+    adx = p["OFAlpha"] * dx / cfg.dt_sec
+    # route all 3 overland lanes in one batched wavefront sweep
+    q0 = jnp.stack([s["OFQOther"], s["OFQForest"], s["OFQDirect"]])
+    lat = jnp.stack([sideflow_other, sideflow_forest, sideflow_direct]) * dx
+    q_lanes = _route_batched(q0, lat, adx, chunks, down, beta)
+    of_q_other, of_q_forest, of_q_direct = q_lanes[0], q_lanes[1], q_lanes[2]
+
+    of_m3_direct = dx * p["OFAlpha"][2] * of_q_direct**beta
+    of_m3_other = dx * p["OFAlpha"][0] * of_q_other**beta
+    of_m3_forest = dx * p["OFAlpha"][1] * of_q_forest**beta
+    q_all = of_q_direct + of_q_other + of_q_forest
+    m3_all = of_m3_direct + of_m3_other + of_m3_forest
+    of_to_chan = jnp.where(p["IsChannel"], q_all * cfg.dt_sec, 0)
+    to_chan_runoff = (d["UZOutflowPixel"] + d["LZOutflowToChannelPixel"]) * mmto_m3 + of_to_chan
+    return {
+        "SurfaceRunSoil": surface_run_soil,
+        "SurfaceRunoff": surface_runoff,
+        "TotalRunoff": total_runoff,
+        "OFQDirect": of_q_direct, "OFQOther": of_q_other, "OFQForest": of_q_forest,
+        "OFM3Direct": of_m3_direct, "OFM3Other": of_m3_other, "OFM3Forest": of_m3_forest,
+        "Qall": q_all, "M3all": m3_all,
+        "OFToChanM3": of_to_chan,
+        "WaterDepth": m3_all * p["M3toMM"],
+        "ToChanM3Runoff": to_chan_runoff,
+        "ToChanM3RunoffDt": to_chan_runoff / cfg.no_rout_steps,
+    }
+
+
+def _lake_substep(cfg, p, carry, chan_q):
+    """Modified Puls lake routing (lakes.py:199-263)."""
+    P = cfg.num_pixels
+    lake_idx = p["LakeIndex"]
+    inflow_cc = scatter_to_downstream(chan_q, p["downstruct"], P)[lake_idx]
+    lake_in = (inflow_cc + carry["LakeInflowOldCC"]) * 0.5
+    si = carry["LakeStorageM3CC"] / cfg.dt_routing - 0.5 * carry["LakeOutflowCC"] + lake_in
+    outflow_cc = jnp.square(-p["LakeFactor"] + jnp.sqrt(p["LakeFactorSqr"] + 2 * si))
+    q_out_m3 = outflow_cc * cfg.dt_routing
+    storage = (si - outflow_cc * 0.5) * cfg.dt_routing
+    storage = jnp.where(jnp.isnan(storage) | (storage < 0), 0.0, storage)
+    balance = carry["LakeStorageM3BalanceCC"] + lake_in * cfg.dt_routing - q_out_m3
+    level = storage / p["LakeAreaCC"]
+    q_lake_out = jnp.zeros(P, chan_q.dtype).at[lake_idx].set(q_out_m3)
+    updates = {
+        "LakeInflowOldCC": inflow_cc,
+        "LakeInflowCC": inflow_cc,
+        "LakeOutflowCC": outflow_cc,
+        "LakeStorageM3CC": storage,
+        "LakeStorageM3BalanceCC": balance,
+        "LakeLevelCC": level,
+        "sumLakeInCC": carry["sumLakeInCC"] + inflow_cc * cfg.dt_routing,
+        "sumLakeOutCC": carry["sumLakeOutCC"] + q_out_m3,
+    }
+    return updates, q_lake_out
+
+
+def _reservoir_substep(cfg, p, carry, chan_q):
+    """Rule-curve reservoir operation (reservoir.py:173-303)."""
+    P = cfg.num_pixels
+    res_idx = p["ReservoirIndex"]
+    inv_day = 1.0 / 86400.0
+    inflow_cc = scatter_to_downstream(chan_q, p["downstruct"], P)[res_idx]
+    q_in_m3 = inflow_cc * cfg.dt_routing
+    storage = carry["ReservoirStorageM3CC"] + q_in_m3
+    total = p["TotalReservoirStorageM3CC"]
+    fill = storage / total
+    o1 = jnp.minimum(p["MinReservoirOutflowCC"], storage * inv_day)
+    o2 = p["MinReservoirOutflowCC"] + p["DeltaO"] * (fill - 2 * p["ConservativeStorageLimitCC"]) / p["DeltaLN"]
+    o3a = p["NormalReservoirOutflowCC"]
+    o3b = p["NormalReservoirOutflowCC"] + ((fill - p["Normal_FloodStorageLimitCC"]) / p["DeltaNFL"]) * (
+        p["NonDamagingReservoirOutflowCC"] - p["NormalReservoirOutflowCC"])
+    temp4 = jnp.minimum(p["NonDamagingReservoirOutflowCC"],
+                        jnp.maximum(inflow_cc * 1.2, p["NormalReservoirOutflowCC"]))
+    o4 = jnp.maximum((fill - p["FloodStorageLimitCC"] - 0.01) * total * inv_day, temp4)
+    outflow = o1
+    outflow = jnp.where(fill > 2 * p["ConservativeStorageLimitCC"], o2, outflow)
+    outflow = jnp.where(fill > p["NormalStorageLimitCC"], o3a, outflow)
+    outflow = jnp.where(fill > p["Normal_FloodStorageLimitCC"], o3b, outflow)
+    outflow = jnp.where(fill > p["FloodStorageLimitCC"], o4, outflow)
+    temp = jnp.minimum(outflow, jnp.maximum(inflow_cc, p["NormalReservoirOutflowCC"]))
+    outflow = jnp.where((outflow > 1.2 * inflow_cc) & (outflow > p["NormalReservoirOutflowCC"]) &
+                        (fill < p["FloodStorageLimitCC"]), temp, outflow)
+    q_out_m3 = outflow * cfg.dt_routing
+    q_out_m3 = jnp.minimum(q_out_m3, storage)
+    q_out_m3 = jnp.maximum(q_out_m3, storage - total)
+    storage = storage - q_out_m3
+    fill = storage / total
+    fill = jnp.where(jnp.isnan(fill) | (fill < 0), 0.0, fill)
+    q_res_out = jnp.zeros(P, chan_q.dtype).at[res_idx].set(q_out_m3)
+    updates = {
+        "ReservoirStorageM3CC": storage,
+        "ReservoirFillCC": fill,
+        "sumResInCC": carry["sumResInCC"] + q_in_m3,
+        "sumResOutCC": carry["sumResOutCC"] + q_out_m3,
+    }
+    return updates, q_res_out
+
+
+def channel_routing(cfg, p, s, d, routers):
+    """The NoRoutSteps sub-step loop (Lisflood_dynamic.py:176-230 +
+    routing.py:435-706) as a lax.scan; returns end-of-step state and
+    diagnostics."""
+    P = cfg.num_pixels
+    dtype = s["ChanQKin"].dtype
+    chunks, down = routers["kin_chunks"], routers["kin_down"]
+    beta = p["Beta"]
+    dx = p["ChanLength"]
+    inv_dx = 1.0 / dx
+    adx1 = p["ChannelAlpha"] * dx / cfg.dt_routing
+    inv_alpha1 = 1.0 / p["ChannelAlpha"]
+    if cfg.split_routing and not cfg.init_lisflood:
+        adx2 = p["ChannelAlpha2"] * dx / cfg.dt_routing
+        inv_alpha2 = 1.0 / p["ChannelAlpha2"]
+
+    zero = jnp.zeros(P, dtype)
+    carry = {
+        "ChanQKin": s["ChanQKin"],
+        "ChanM3Kin": s["ChanM3Kin"],
+        "ChanQ": s["ChanQ"],
+        "sumDisDay": zero,
+    }
+    if cfg.split_routing and not cfg.init_lisflood:
+        carry.update({
+            "Chan2QKin": s["Chan2QKin"],
+            "Chan2M3Kin": s["Chan2M3Kin"],
+            "CrossSection2Area": s["CrossSection2Area"],
+            "Sideflow1Chan": s["Sideflow1Chan"],
+        })
+    if cfg.simulate_lakes and not cfg.init_lisflood:
+        carry.update({
+            "LakeStorageM3CC": s["LakeStorageM3CC"],
+            "LakeInflowOldCC": s["LakeInflowOldCC"],
+            "LakeInflowCC": jnp.zeros(cfg.num_lakes, dtype),
+            "LakeOutflowCC": s["LakeOutflowCC"],
+            "LakeStorageM3BalanceCC": s["LakeStorageM3BalanceCC"],
+            "LakeLevelCC": s["LakeLevelCC"],
+            "sumLakeInCC": jnp.zeros(cfg.num_lakes, dtype),
+            "sumLakeOutCC": jnp.zeros(cfg.num_lakes, dtype),
+        })
+    if cfg.simulate_reservoirs and not cfg.init_lisflood:
+        carry.update({
+            "ReservoirStorageM3CC": s["ReservoirStorageM3CC"],
+            "ReservoirFillCC": s["ReservoirFillCC"],
+            "sumResInCC": jnp.zeros(cfg.num_reservoirs, dtype),
+            "sumResOutCC": jnp.zeros(cfg.num_reservoirs, dtype),
+        })
+    if cfg.trans_loss:
+        carry["TransCum"] = s["TransCum"]
+    if cfg.rep_mbts:
+        carry["AddedTRUN"] = zero
+    if cfg.inflow:
+        carry["QinADDEDM3"] = zero
+
+    catch = p["Catchments"]
+    ncatch = cfg.num_catchments
+    catchtotal = lambda x: segment_spread(x, catch, ncatch)
+
+    def substep(carry, n):
+        c = dict(carry)
+        sideflow_m3 = d["ToChanM3RunoffDt"]
+
+        if cfg.simulate_lakes and not cfg.init_lisflood:
+            lake_updates, q_lake_out = _lake_substep(cfg, p, c, c["ChanQ"])
+            c.update(lake_updates)
+        if cfg.simulate_reservoirs and not cfg.init_lisflood:
+            res_updates, q_res_out = _reservoir_substep(cfg, p, c, c["ChanQ"])
+            c.update(res_updates)
+        if cfg.inflow:
+            q_in_dt = (d["QInM3Old"] + (n + 1) * d["QDelta"]) / cfg.no_rout_steps
+            c["QinADDEDM3"] = c["QinADDEDM3"] + q_in_dt
+        if cfg.trans_loss:
+            trans_out = jnp.where(p["UpTrans"],
+                                  (c["ChanQ"] ** p["TransPower2"] - p["TransSub"]) ** p["TransPower1"],
+                                  c["ChanQ"])
+            trans_loss_m3 = (c["ChanQ"] - trans_out) * cfg.dt_routing
+            c["TransCum"] = c["TransCum"] + trans_loss_m3
+
+        # sideflow assembly (routing.py:462-478)
+        if cfg.open_water_evapo:
+            sideflow_m3 = sideflow_m3 - d["EvaAddM3Dt"]
+        if cfg.water_use:
+            wuse_add = d["withdrawal_CH_actual_M3_routStep"] - d["returnflow_GwAbs2Channel_M3_routStep"]
+            sideflow_m3 = sideflow_m3 - wuse_add
+        if cfg.inflow:
+            sideflow_m3 = sideflow_m3 + q_in_dt
+        if cfg.trans_loss:
+            sideflow_m3 = sideflow_m3 - trans_loss_m3
+        if not cfg.init_lisflood:
+            if cfg.simulate_lakes:
+                sideflow_m3 = sideflow_m3 + q_lake_out
+            if cfg.simulate_reservoirs:
+                sideflow_m3 = sideflow_m3 + q_res_out
+
+        if cfg.rep_mbts:
+            added = catchtotal(d["ToChanM3RunoffDt"])
+            if cfg.inflow:
+                added = added + catchtotal(q_in_dt)
+            if cfg.open_water_evapo:
+                added = added - catchtotal(d["EvaAddM3Dt"])
+            if cfg.water_use:
+                added = added - catchtotal(wuse_add)
+            c["AddedTRUN"] = c["AddedTRUN"] + added
+
+        sideflow = jnp.where(p["IsChannelKinematic"], sideflow_m3 * inv_dx / cfg.dt_routing, 0)
+        sideflow = jnp.where(jnp.isnan(sideflow), 0.0, sideflow)
+
+        if cfg.init_lisflood or not cfg.split_routing:
+            # single routing (routing.py:518-541)
+            q = _route(c["ChanQKin"], sideflow * dx, adx1, chunks, down, beta)
+            m3 = dx * p["ChannelAlpha"] * q**beta
+            m3 = jnp.maximum(m3, 0.0)
+            q = (m3 * inv_dx * inv_alpha1) ** (1 / beta)
+            c["ChanQKin"] = q
+            c["ChanM3Kin"] = m3
+            c["ChanQ"] = q
+            c["sumDisDay"] = c["sumDisDay"] + q
+        else:
+            # double routing (routing.py:543-604)
+            ratio_den = c["ChanM3Kin"] + c["Chan2M3Kin"]
+            sideflow_ratio = jnp.where(ratio_den > 0, c["ChanM3Kin"] / jnp.where(ratio_den > 0, ratio_den, 1.0), 0.0)
+            over_limit = (c["ChanM3Kin"] + c["Chan2M3Kin"] - p["Chan2M3Start"]) > p["M3Limit"]
+            sideflow1 = jnp.where(over_limit, sideflow_ratio * sideflow, sideflow)
+            sideflow1 = jnp.where(jnp.abs(sideflow) < 1e-7, sideflow, sideflow1)
+            sideflow2 = sideflow - sideflow1
+            sideflow2 = sideflow2 + p["Chan2QStart"] * inv_dx
+            c["Sideflow1Chan"] = sideflow1
+
+            # main channel + floodplain routed in one batched sweep
+            q12 = _route_batched(
+                jnp.stack([c["ChanQKin"], c["Chan2QKin"]]),
+                jnp.stack([sideflow1, sideflow2]) * dx,
+                jnp.stack([adx1, adx2]), chunks, down, beta)
+            q1, q2 = q12[0], q12[1]
+            m31 = jnp.maximum(dx * p["ChannelAlpha"] * q1**beta, 0.0)
+            q1 = (m31 * inv_dx * inv_alpha1) ** (1 / beta)
+
+            m32 = dx * p["ChannelAlpha2"] * q2**beta
+            m32 = jnp.where(m32 - p["Chan2M3Start"] < 0.0, p["Chan2M3Start"], m32)
+            cross2 = (m32 - p["Chan2M3Start"]) * inv_dx
+            q2 = (m32 * inv_dx * inv_alpha2) ** (1 / beta)
+
+            chan_q = jnp.maximum(q1 + q2 - p["QLimit"], 0.0)
+            c["ChanQKin"] = q1
+            c["ChanM3Kin"] = m31
+            c["Chan2QKin"] = q2
+            c["Chan2M3Kin"] = m32
+            c["CrossSection2Area"] = cross2
+            c["ChanQ"] = chan_q
+            c["sumDisDay"] = c["sumDisDay"] + chan_q
+
+        return c, None
+
+    carry, _ = jax.lax.scan(substep, carry, jnp.arange(cfg.no_rout_steps))
+
+    out = dict(carry)
+    # post-loop (Lisflood_dynamic.py:194-230)
+    if cfg.init_lisflood or not cfg.split_routing:
+        chan_m3 = carry["ChanM3Kin"]
+    else:
+        chan_m3 = carry["ChanM3Kin"] + carry["Chan2M3Kin"] - p["Chan2M3Start"]
+    out["ChanM3"] = chan_m3
+    out["TotalCrossSectionArea"] = chan_m3 * inv_dx
+    out["sumDis"] = s["sumDis"] + carry["sumDisDay"]
+    out["ChanQAvg"] = carry["sumDisDay"] / cfg.no_rout_steps
+    if cfg.init_lisflood or cfg.rep_average_dis:
+        cum_q = s["CumQ"] + carry["ChanQ"]
+        out["CumQ"] = cum_q
+        out["avgdis"] = cum_q / d["TimeSinceStart"]
+    out["DischargeM3Out"] = s["DischargeM3Out"] + jnp.where(p["AtLastPointC"], carry["ChanQ"] * cfg.dt_sec, 0)
+
+    # flow velocity diagnostic (routing.py:695-706)
+    tcsa = jnp.maximum(carry["ChanM3Kin"] * inv_dx, 0.01)
+    velocity = jnp.minimum(carry["ChanQKin"] / tcsa, 0.36 * carry["ChanQKin"] ** 0.24)
+    velocity = velocity * jnp.minimum(jnp.sqrt(p["PixelArea"]) * inv_dx, 1)
+    out["FlowVelocity"] = velocity
+    out["TravelDistance"] = velocity * cfg.dt_sec
+
+    # expand structure state to (P,) (lakes.py:280-297, reservoir.py:307-322)
+    if cfg.simulate_lakes and not cfg.init_lisflood:
+        lake_idx = p["LakeIndex"]
+        expand = lambda cc: jnp.zeros(P, dtype).at[lake_idx].set(cc)
+        out["LakeStorageM3Balance"] = expand(carry["LakeStorageM3BalanceCC"])
+        out["LakeStorageM3"] = expand(carry["LakeStorageM3CC"])
+        out["LakeLevel"] = expand(carry["LakeLevelCC"])
+        out["LakeInflowOld"] = expand(carry["LakeInflowOldCC"])
+        out["LakeOutflow"] = expand(carry["LakeOutflowCC"])
+        out["LakeInflowM3S"] = expand(carry["sumLakeInCC"] / cfg.dt_sec)
+        out["LakeOutflowM3S"] = expand(carry["sumLakeOutCC"] / cfg.dt_sec)
+    if cfg.simulate_reservoirs and not cfg.init_lisflood:
+        res_idx = p["ReservoirIndex"]
+        expand = lambda cc: jnp.zeros(P, dtype).at[res_idx].set(cc)
+        out["ReservoirStorageM3"] = expand(carry["ReservoirStorageM3CC"])
+        out["ReservoirFill"] = expand(carry["ReservoirFillCC"])
+        out["ReservoirInflowM3S"] = expand(carry["sumResInCC"] / cfg.dt_sec)
+        out["ReservoirOutflowM3S"] = expand(carry["sumResOutCC"] / cfg.dt_sec)
+
+    # split-routing mass balance (routing.py:645-691)
+    if cfg.rep_mbts and not cfg.init_lisflood and cfg.split_routing:
+        chan_q_avg_sr = carry["sumDisDay"] / cfg.no_rout_steps
+        sum1 = jnp.where(p["AtLastPointC"], chan_q_avg_sr, 0.0)
+        out_step = catchtotal(sum1 * cfg.dt_sec)
+        storage_step = carry["ChanM3Kin"] + carry["Chan2M3Kin"] - p["Chan2M3Start"]
+        dis_structures = jnp.zeros(P, dtype)
+        if cfg.simulate_reservoirs:
+            storage_step = storage_step + out["ReservoirStorageM3"]
+            dis_structure = jnp.where(p["IsUpsOfStructureKinematicC"], carry["ChanQ"] * cfg.dt_routing, 0)
+            dis_structures = catchtotal(dis_structure) - s["DischargeM3StructuresIni"]
+        if cfg.simulate_lakes:
+            storage_step = storage_step + out["LakeStorageM3Balance"]
+            dis_structure = jnp.where(p["IsUpsOfStructureKinematicC"], carry["ChanQ"] * cfg.dt_routing, 0)
+            dis_structures = catchtotal(dis_structure)
+            dis_lake = jnp.zeros(P, dtype).at[p["LakeIndex"]].set(0.5 * carry["LakeInflowCC"] * cfg.dt_routing)
+            dis_structures = dis_structures + catchtotal(dis_lake)
+            dis_structures = dis_structures - s["DischargeM3StructuresIni"]
+        storage_step1 = catchtotal(storage_step)
+        mb_error = -storage_step1 + s["StorageStepINIT"] - out_step - dis_structures + carry["AddedTRUN"]
+        out["MBErrorSplitRoutingM3"] = mb_error
+        qout_corr = jnp.where(p["AtLastPointC"], mb_error / cfg.dt_routing, 0.0)
+        out["OutletDischargeErrorSplitRouting"] = catchtotal(qout_corr)
+        out["StorageStepINIT"] = storage_step1 + dis_structures
+    return out

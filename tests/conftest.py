@@ -38,3 +38,7 @@ def latlon_case():
     if not os.path.isdir(path):
         pytest.skip("LF_lat_lon test data not available")
     return path
+
+# persistent XLA compilation cache: keeps repeated test runs fast
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache_jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
