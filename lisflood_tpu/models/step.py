@@ -211,6 +211,13 @@ def _waterbalance(cfg, p, s, d, catchtotal):
             dis_structures = dis_structures + catchtotal(dis_lake)
         dis_structures = dis_structures - s["DischargeM3StructuresIni"]
         mb_error = s["WaterInit"] + water_in - water_stored - water_out - dis_structures
+        out["MB_WaterInit"] = s["WaterInit"]
+        out["MB_WaterIn"] = water_in
+        out["MB_WaterStored"] = water_stored
+        out["MB_WaterOut"] = water_out
+        out["MB_DisStructures"] = dis_structures
+        out["MB_ChannelStored"] = catchtotal(channel_stored)
+        out["MB_HillslopeStored"] = catchtotal(hillslope_stored)
         out["MBError"] = mb_error
         out["MBErrorMM"] = 1000.0 * mb_error / p["CatchArea"]
         out["WaterInit"] = water_stored + dis_structures

@@ -301,7 +301,7 @@ def soil_columns_step(cfg, p, s, d):
     uz = s["UZ"]
     uz_outflow = jnp.minimum(p["UpperZoneK"][None] * uz, uz)
     uz = jnp.maximum(uz - uz_outflow, 0.0)
-    if cfg.drained_irrigation and cfg.water_use:
+    if cfg.drained_irrigation:
         drained = p["DrainedFraction"]
         is_irrigated = jnp.array([0.0, 0.0, 1.0])[:, None]
         uz_outflow = uz_outflow + is_irrigated * drained * seep_gw

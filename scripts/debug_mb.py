@@ -40,6 +40,15 @@ def run_steps(opts_on, opts_off, label, n=3, check_dtypes=False):
     print(label, ["%.3f"%e for e in errs], f"({time.time()-t0:.0f}s, cache={r.step_fn._cache_size()})", flush=True)
     return r, state
 
+
+def combos():
+    ALL = ('SplitRouting','simulateLakes','simulateReservoirs','openwaterevapo','drainedIrrigation')
+    run_steps(('simulateLakes','simulateReservoirs'), ('SplitRouting','openwaterevapo','drainedIrrigation'), "lakes+res      ")
+    run_steps(('simulateLakes','simulateReservoirs','SplitRouting'), ('openwaterevapo','drainedIrrigation'), "lakes+res+split")
+    run_steps(('drainedIrrigation',), tuple(o for o in ALL if o!='drainedIrrigation'), "drained        ")
+    run_steps(ALL, (), "all            ")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv)>1 else "all"
     ALL = ('SplitRouting','simulateLakes','simulateReservoirs','openwaterevapo','drainedIrrigation')
@@ -51,5 +60,7 @@ if __name__ == "__main__":
         run_steps(('simulateReservoirs',), tuple(o for o in ALL if o!='simulateReservoirs'), "reservoirs ")
     if which in ("split","all"):
         run_steps(('SplitRouting',), tuple(o for o in ALL if o!='SplitRouting'), "split      ")
+    if which == "combos":
+        combos()
     if which in ("openwater","all"):
         run_steps(('openwaterevapo',), tuple(o for o in ALL if o!='openwaterevapo'), "openwater  ")

@@ -1,0 +1,159 @@
+"""End-to-end model tests on the ETRS89 catchment with the 1951 forcing set.
+
+The mounted reference data lacks the 2016 meteo forcings used by the
+committed oracle outputs, so the operative correctness gates here are the
+reference's own self-consistency properties (see reference
+tests/test_warmstart.py and the repMBTs monitors): mass-balance closure
+across all modules, and warm-start state round-trips.
+"""
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from lisflood_tpu.config import load_settings
+
+CASE = "/root/reference/tests/data/LF_ETRS89_UseCase"
+FORC_1951 = os.path.join(CASE, "meteo_1950")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(FORC_1951), reason="test data missing")
+
+BASE_VARS = {
+    "CalendarDayStart": "01/01/1900 00:00",
+    "StepStart": "02/01/1951 06:00",
+    "StepEnd": "31/01/1951 00:00",
+    "DtSec": "21600",
+    "PathMeteo": "$(PathRoot)/meteo_1950",
+    "ReportSteps": "starttime..endtime",
+}
+
+
+def make_runner(tmp, opts_on=(), opts_off=(), vars_extra=None):
+    from lisflood_tpu.models.driver import LisfloodRunner
+    import warnings
+    v = dict(BASE_VARS)
+    v["PathOut"] = str(tmp)
+    v.update(vars_extra or {})
+    s = load_settings(os.path.join(CASE, "settings", "base.xml"),
+                      opts_to_set=opts_on,
+                      opts_to_unset=("wateruse", "riceIrrigation", "groundwaterSmooth") + tuple(opts_off),
+                      vars_to_set=v)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return LisfloodRunner(s), s
+
+
+@pytest.mark.slow
+def test_mass_balance_minimal(tmp_path):
+    """Internal water budget closes to ~1e-12 relative (every module)."""
+    r, s = make_runner(tmp_path, opts_on=("repMBTs",),
+                       opts_off=("SplitRouting", "simulateLakes", "simulateReservoirs",
+                                 "openwaterevapo", "drainedIrrigation"))
+    state = r.state
+    for i in range(4):
+        f = r.forcing_for(i, r.dates[i])
+        state, diag = r.step_fn(state, f)
+        mb = np.unique(np.asarray(diag["MBError"]))
+        assert np.abs(mb).max() < 1.0, f"step {i}: MBError {mb}"
+
+
+@pytest.mark.slow
+def test_mass_balance_structures(tmp_path):
+    """MB closure with lakes + reservoirs + split routing active."""
+    r, s = make_runner(tmp_path,
+                       opts_on=("repMBTs", "SplitRouting", "simulateLakes", "simulateReservoirs",
+                                "openwaterevapo", "drainedIrrigation"),
+                       opts_off=())
+    state = r.state
+    errs = []
+    for i in range(6):
+        f = r.forcing_for(i, r.dates[i])
+        state, diag = r.step_fn(state, f)
+        errs.append(float(np.abs(np.unique(np.asarray(diag["MBError"]))).max()))
+    # cold-start transient allowed for the first steps (the reference's own
+    # mbError shows the same behaviour: -1390 then -27 m3 at startup);
+    # afterwards closure is machine-tight
+    assert max(errs[3:]) < 1.0, errs
+
+
+@pytest.mark.slow
+def test_warmstart_roundtrip(tmp_path):
+    """Cold 8-step run == 4-step run + warm restart for 4 steps
+    (reference tests/test_warmstart.py:34-154)."""
+    out_cold = tmp_path / "cold"
+    out_warm = tmp_path / "warm"
+    out_half = tmp_path / "half"
+    for p in (out_cold, out_half, out_warm):
+        p.mkdir()
+
+    # full cold run of 8 steps, writing state maps every step
+    end8 = "03/01/1951 18:00"   # 8 6-hourly steps from 02/01 06:00
+    end4 = "02/01/1951 18:00"   # be careful: step 4 is 03/01 00:00? -> use date math below
+    from lisflood_tpu.config.calendar import step_to_date, parse_date_or_step
+    ref = parse_date_or_step(BASE_VARS["CalendarDayStart"])
+    start_int, _ = __import__("lisflood_tpu.config.calendar", fromlist=["date_to_step"]).date_to_step(
+        BASE_VARS["StepStart"], BASE_VARS["CalendarDayStart"], 21600)
+    d4 = step_to_date(start_int + 3, ref, 21600)   # date of step 4
+    d5 = step_to_date(start_int + 4, ref, 21600)
+    d8 = step_to_date(start_int + 7, ref, 21600)
+    fmt = lambda d: d.strftime("%d/%m/%Y %H:%M")
+
+    r_cold, s_cold = make_runner(out_cold, opts_on=("repStateMaps",),
+                                 opts_off=("SplitRouting", "simulateLakes", "simulateReservoirs",
+                                           "openwaterevapo", "drainedIrrigation"),
+                                 vars_extra={"StepEnd": fmt(d8)})
+    r_cold.run()
+
+    # first half
+    r_half, s_half = make_runner(out_half, opts_on=("repStateMaps",),
+                                 opts_off=("SplitRouting", "simulateLakes", "simulateReservoirs",
+                                           "openwaterevapo", "drainedIrrigation"),
+                                 vars_extra={"StepEnd": fmt(d4)})
+    r_half.run()
+
+    # warm start from the half-run state maps
+    state_bindings = {
+        "OFDirectInitValue": str(out_half / "ofdir"),
+        "OFOtherInitValue": str(out_half / "ofoth"),
+        "OFForestInitValue": str(out_half / "offor"),
+        "SnowCoverAInitValue": str(out_half / "scova"),
+        "SnowCoverBInitValue": str(out_half / "scovb"),
+        "SnowCoverCInitValue": str(out_half / "scovc"),
+        "FrostIndexInitValue": str(out_half / "frost"),
+        "CumIntInitValue": str(out_half / "cum"),
+        "CumIntForestInitValue": str(out_half / "cumf"),
+        "CumIntIrrigationInitValue": str(out_half / "cumi"),
+        "CumIntSealedInitValue": str(out_half / "cseal"),
+        "UZInitValue": str(out_half / "uz"),
+        "UZForestInitValue": str(out_half / "uzf"),
+        "UZIrrigationInitValue": str(out_half / "uzi"),
+        "DSLRInitValue": str(out_half / "dslr"),
+        "DSLRForestInitValue": str(out_half / "dslf"),
+        "DSLRIrrigationInitValue": str(out_half / "dsli"),
+        "LZInitValue": str(out_half / "lz"),
+        "ThetaInit1Value": str(out_half / "tha"),
+        "ThetaInit2Value": str(out_half / "thb"),
+        "ThetaInit3Value": str(out_half / "thc"),
+        "ThetaForestInit1Value": str(out_half / "thfa"),
+        "ThetaForestInit2Value": str(out_half / "thfb"),
+        "ThetaForestInit3Value": str(out_half / "thfc"),
+        "ThetaIrrigationInit1Value": str(out_half / "thia"),
+        "ThetaIrrigationInit2Value": str(out_half / "thib"),
+        "ThetaIrrigationInit3Value": str(out_half / "thic"),
+        "TotalCrossSectionAreaInitValue": str(out_half / "chcro"),
+        "PrevDischarge": str(out_half / "chanq"),
+        "timestepInit": fmt(d4),
+    }
+    r_warm, s_warm = make_runner(out_warm, opts_on=("repStateMaps",),
+                                 opts_off=("SplitRouting", "simulateLakes", "simulateReservoirs",
+                                           "openwaterevapo", "drainedIrrigation"),
+                                 vars_extra={"StepStart": fmt(d5), "StepEnd": fmt(d8), **state_bindings})
+    warm_state = r_warm.run()
+
+    cold_state = r_cold.state
+    for key in ("W1a", "W1b", "W2", "UZ", "LZ", "SnowCoverS", "FrostIndex",
+                "ChanQKin", "ChanM3Kin", "DSLR", "CumInterception"):
+        a = np.asarray(cold_state[key])
+        b = np.asarray(warm_state[key])
+        np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-9, err_msg=key)
