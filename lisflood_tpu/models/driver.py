@@ -246,6 +246,13 @@ class LisfloodRunner:
         self.cal_day_start = aux["CalendarDayStart"]
         self.lai_lookup = aux["lai_day_to_interval"]
         self.varw_lookup = aux.get("varW_day_to_month")
+        if self.config.inflow:
+            # per-step inflow vector from the hydrograph tss (inflow.py:113-127)
+            ids, data, steps = aux["inflow_tss"]
+            pts = aux["inflow_points"]
+            col_of = {pid: i for i, pid in enumerate(ids)}
+            row_of = {int(st): i for i, st in enumerate(steps)}
+            self._inflow = (pts, col_of, row_of, data)
 
     def forcing_for(self, offset, date):
         import jax.numpy as jnp
@@ -260,6 +267,17 @@ class LisfloodRunner:
         }
         if self.varw_lookup is not None:
             f["VarWMonth"] = jnp.int32(self.varw_lookup[cal_day])
+        if self.config.inflow:
+            pts, col_of, row_of, data = self._inflow
+            step = self.settings.step_start_int + offset
+            qin = np.zeros(self.grid.num_pixels)
+            row = row_of.get(step)
+            if row is not None:
+                for pid, col in col_of.items():
+                    val = data[row, col]
+                    if np.isfinite(val) and val < 1e30:
+                        qin[pts == pid] = val
+            f["QInM3"] = jnp.asarray(qin * self.config.dt_sec)
         if self.config.water_use:
             dt_day = self.config.dt_day
             if self.config.transient_water_demand:

@@ -700,6 +700,23 @@ def build_model(settings, dtype=np.float64):
         params["RegionPopulation"] = np.bincount(
             params["WUseRegionC"], weights=params["Population"], minlength=num_wregions)[params["WUseRegionC"]]
 
+    # inflow hydrographs (inflow.py:49-96)
+    if option["inflow"]:
+        inflow_points = _field(loader.load("InflowPoints"), P)
+        inflow_points = np.where(np.isnan(inflow_points) | (inflow_points < 0), 0, inflow_points)
+        params["InflowPoints"] = inflow_points
+        state["QInM3Old"] = np.where(inflow_points > 0, state["ChanQ"] * dt_sec, 0)
+        from ..io.tss import read_tss
+        tss_ids, tss_data, tss_steps = read_tss(binding["QInTS"])
+        # drop inflow points absent from the tss (inflow.py:80-84)
+        known = set(tss_ids)
+        for pid in np.unique(inflow_points[inflow_points > 0]).astype(int):
+            if pid not in known:
+                warnings.warn(LisfloodWarning(f"Inflow point was removed ID: {pid}"))
+                inflow_points[inflow_points == pid] = 0
+        aux["inflow_tss"] = (tss_ids, tss_data, tss_steps)
+        aux["inflow_points"] = inflow_points
+
     # transmission loss (transmission.py:43-63)
     if option["TransLoss"]:
         trans_area = _field(loader.load("TransArea"), P)

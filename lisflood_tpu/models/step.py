@@ -51,6 +51,8 @@ def state_keys(cfg):
                  "cumulated_CH_withdrawal"]
     if cfg.trans_loss:
         keys += ["TransCum"]
+    if cfg.inflow:
+        keys += ["QInM3Old"]
     if cfg.rep_mbts:
         keys += ["WaterInit", "DischargeM3StructuresIni", "StorageStepINIT"]
     return keys
@@ -93,6 +95,14 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
 
         # LAI selection (leafarea.py:76-90)
         d["LAI"] = p["LAIX"][f["LAIInterval"]]
+
+        # inflow hydrographs (inflow.py:98-127): QInM3 read host-side
+        if cfg.inflow:
+            d["QInM3"] = f["QInM3"]
+            d["QInM3OldLoop"] = s["QInM3Old"]   # previous step's inflow, used in substeps
+            d["QInM3Old"] = f["QInM3"]          # becomes old for next step
+            d["QDelta"] = (f["QInM3"] - s["QInM3Old"]) / cfg.no_rout_steps
+            d["TotalQInM3"] = s["TotalQInM3"] + f["QInM3"]
 
         # variable water fraction (evapowater.py:96-121)
         d.update(ph.evapowater_init_step(cfg, p, s, d))

@@ -202,7 +202,7 @@ def channel_routing(cfg, p, s, d, routers):
             res_updates, q_res_out = _reservoir_substep(cfg, p, c, c["ChanQ"])
             c.update(res_updates)
         if cfg.inflow:
-            q_in_dt = (d["QInM3Old"] + (n + 1) * d["QDelta"]) / cfg.no_rout_steps
+            q_in_dt = (d["QInM3OldLoop"] + (n + 1) * d["QDelta"]) / cfg.no_rout_steps
             c["QinADDEDM3"] = c["QinADDEDM3"] + q_in_dt
         if cfg.trans_loss:
             trans_out = jnp.where(p["UpTrans"],
@@ -289,6 +289,9 @@ def channel_routing(cfg, p, s, d, routers):
     carry, _ = jax.lax.scan(substep, carry, jnp.arange(cfg.no_rout_steps))
 
     out = dict(carry)
+    if cfg.inflow:
+        # for the mass-balance module (Lisflood_dynamic.py:185-189)
+        out["sumInWB"] = carry["QinADDEDM3"]
     # post-loop (Lisflood_dynamic.py:194-230)
     if cfg.init_lisflood or not cfg.split_routing:
         chan_m3 = carry["ChanM3Kin"]

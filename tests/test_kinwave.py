@@ -67,6 +67,7 @@ def env(etrs89_case):
     return s, grid, loader, graph
 
 
+@pytest.mark.slow
 def test_route_matches_serial_oracle(env):
     s, grid, loader, graph = env
     P = graph.num_pixels
@@ -87,6 +88,7 @@ def test_route_matches_serial_oracle(env):
     np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_route_zero_inflow_drains(env):
     s, grid, loader, graph = env
     P = graph.num_pixels
