@@ -40,17 +40,23 @@ def bench_model(n_steps=20, warmup=2):
         warnings.simplefilter("ignore")
         runner = LisfloodRunner(settings)
 
-    state = runner.state
-    forcings = [runner.forcing_for(i, runner.dates[i]) for i in range(n_steps + warmup)]
-    # warmup / compile
-    for i in range(warmup):
-        state, diag = runner.step_fn(state, forcings[i])
     import jax
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), state)
+    import jax.numpy as jnp
+    from lisflood_tpu.models.step import build_multi_step
+
+    # scanned multi-step program: the production data path (chunked forcing
+    # staged on device, lax.scan over steps, one fetch per chunk)
+    multi, _ = build_multi_step(runner.config, runner.params_np, runner.aux,
+                                output_keys=("ChanQAvg",))
+    state = runner.state
+    fs = [runner.forcing_for(i, runner.dates[i]) for i in range(n_steps)]
+    stack = {key: jnp.stack([f[key] for f in fs]) for key in fs[0]}
+    # warmup / compile
+    state_w, outs = multi(state, stack)
+    np.asarray(outs["ChanQAvg"])
     t0 = time.perf_counter()
-    for i in range(warmup, warmup + n_steps):
-        state, diag = runner.step_fn(state, forcings[i])
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), state)
+    state2, outs = multi(state, stack)
+    np.asarray(outs["ChanQAvg"])  # force full sync
     elapsed = time.perf_counter() - t0
     cells_steps_per_s = runner.config.num_pixels * n_steps / elapsed
     return cells_steps_per_s, elapsed / n_steps

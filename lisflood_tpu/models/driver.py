@@ -288,6 +288,47 @@ class LisfloodRunner:
                     f[key] = jnp.asarray(self.params[key])
         return f
 
+    def run_scanned(self, chunk_steps=16, progress=False, max_steps=None):
+        """Scanned run: batches of `chunk_steps` model steps execute as one
+        device program (lax.scan), amortizing host<->device latency."""
+        import jax.numpy as jnp
+        from .step import build_multi_step
+
+        settings = self.settings
+        needed = sorted(self.outputs.needed_fields())
+        multi, _ = build_multi_step(self.config, self.params_np, self.aux, output_keys=needed)
+        start = settings.step_start_int
+        end = settings.step_end_int
+        n = end - start + 1
+        if max_steps is not None:
+            n = min(n, max_steps)
+        state = self.state
+        offset = 0
+        while offset < n:
+            k = min(chunk_steps, n - offset)
+            fs = [self.forcing_for(offset + i, self.dates[offset + i]) for i in range(k)]
+            stack = {key: jnp.stack([f[key] for f in fs]) for key in fs[0]}
+            state, outs = multi(state, stack)
+            outs = {key: np.asarray(v) for key, v in outs.items()}
+            for i in range(k):
+                step = start + offset + i
+                date = self.dates[offset + i]
+                diag_i = {key: outs[key][i] for key in outs}
+                monthend = yearend = False
+                if self.config.water_use and self.config.indicator:
+                    nxt = date + datetime.timedelta(seconds=self.config.dt_sec)
+                    monthend = nxt.month != date.month
+                    yearend = nxt.year != date.year
+                self.outputs.report(step, date, diag_i, monthend, yearend, is_last=(step == end))
+            if progress:
+                print(f"\r{start + offset + k - 1} - {self.dates[offset + k - 1]:%d/%m/%Y %H:%M}", end="", flush=True)
+            offset += k
+        if progress:
+            print()
+        self.state = state
+        self.outputs.close()
+        return state
+
     def run(self, progress=False, max_steps=None):
         settings = self.settings
         start = settings.step_start_int

@@ -168,6 +168,27 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
     return jax.jit(step), p
 
 
+def build_multi_step(cfg, params_np, aux, output_keys=(), dtype=jnp.float64):
+    """Scanned multi-step runner: `multi(state, forcing_stack) -> (state,
+    outputs)` where every forcing entry carries a leading time axis and
+    `outputs` contains only `output_keys`, stacked over time.
+
+    This is the production data path on TPU: a chunk of steps runs as one
+    device program, amortizing host<->device latency (the per-step driver
+    pays a full tunnel round trip per step), and letting XLA overlap the
+    routing scan with the next step's column physics."""
+    step_fn, p = build_step(cfg, params_np, aux, dtype)
+    output_keys = tuple(output_keys)
+
+    def multi(state, forcing_stack):
+        def body(s, f):
+            s2, d = step_fn(s, f)
+            return s2, {k: d[k] for k in output_keys}
+        return jax.lax.scan(body, state, forcing_stack)
+
+    return jax.jit(multi), p
+
+
 def _collect_state(cfg, s, d):
     new_state = {}
     for k in state_keys(cfg):
