@@ -46,6 +46,8 @@ class ModelConfig:
     num_catchments: int = 0
     num_wregions: int = 0
     num_pixels: int = 0
+    grid_rows: int = 0
+    grid_cols: int = 0
     max_no_eva: int = 5
     # soil Courant sub-stepping cap (masked loop bound); per-pixel counts are
     # data-dependent in the reference (soilloop.py:249); the loop runs to the

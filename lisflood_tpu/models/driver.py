@@ -267,6 +267,10 @@ class LisfloodRunner:
         }
         if self.varw_lookup is not None:
             f["VarWMonth"] = jnp.int32(self.varw_lookup[cal_day])
+        if self.config.water_use and self.config.indicator:
+            nxt = date + datetime.timedelta(seconds=self.config.dt_sec)
+            f["MonthEnd"] = jnp.asarray(nxt.month != date.month)
+            f["YearEnd"] = jnp.asarray(nxt.year != date.year)
         if self.config.inflow:
             pts, col_of, row_of, data = self._inflow
             step = self.settings.step_start_int + offset

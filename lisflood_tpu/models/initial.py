@@ -644,7 +644,11 @@ def build_model(settings, dtype=np.float64):
             params["EnergyDemandMM"] = _field(loader.load("EnergyDemandMaps", timestampflag="closest"), P) * dt_day
 
         if option["groundwaterSmooth"]:
-            params["LZSmoothRange"] = float(loader.load("LZSmoothRange"))
+            # window of LZSmoothRange*celllength map units = LZSmoothRange cells
+            params["LZSmoothRangeCells"] = max(1, int(round(float(loader.load("LZSmoothRange")))))
+            flat_idx = np.flatnonzero(grid.land_flat)
+            params["LandRows"], params["LandCols"] = np.divmod(flat_idx, grid.ncols)
+            params["GroundwaterCatch"] = ((gw_bodies > 0) * catchments).astype(np.int32)
 
         if option["wateruseRegion"]:
             # water-region ldd cutting (waterabstraction.py:151-194)
@@ -699,6 +703,10 @@ def build_model(settings, dtype=np.float64):
         params["LandUseMask"] = _field(loader.load("LandUseMask"), P)
         params["RegionPopulation"] = np.bincount(
             params["WUseRegionC"], weights=params["Population"], minlength=num_wregions)[params["WUseRegionC"]]
+        from ..ops.indicators import indicator_state_zero
+        import jax.numpy as _jnp
+        for k, v in indicator_state_zero(None, P, _jnp.float64).items():
+            state[k] = np.asarray(v)
 
     # inflow hydrographs (inflow.py:49-96)
     if option["inflow"]:
@@ -739,6 +747,8 @@ def build_model(settings, dtype=np.float64):
         num_catchments=num_catchments,
         num_wregions=num_wregions,
         num_pixels=P,
+        grid_rows=grid.nrows,
+        grid_cols=grid.ncols,
         max_no_eva=int(params.get("maxNoEva", 5)),
     )
 

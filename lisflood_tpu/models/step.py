@@ -55,6 +55,9 @@ def state_keys(cfg):
         keys += ["QInM3Old"]
     if cfg.rep_mbts:
         keys += ["WaterInit", "DischargeM3StructuresIni", "StorageStepINIT"]
+    if cfg.indicator and cfg.water_use:
+        from ..ops.indicators import INDICATOR_KEYS
+        keys += list(INDICATOR_KEYS)
     return keys
 
 
@@ -130,6 +133,11 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
             d["ChanM3Kin"] = s["ChanM3Kin"]
             d["ChanQ"] = s["ChanQ"]
             d.update(ph.water_abstraction_step(cfg, p, wa_state, d))
+            if cfg.groundwater_smooth:
+                from ..ops.indicators import groundwater_smooth
+                d["LZ"] = groundwater_smooth(
+                    cfg, p, d["LZ"], p["LandRows"], p["LandCols"],
+                    cfg.grid_rows, cfg.grid_cols)
         # per-pixel aggregation + groundwater
         d.update(ph.soil_perpixel_step(cfg, p, s, d))
         d.update(ph.groundwater_step(cfg, p, s, d))
@@ -161,6 +169,20 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
         # total water storage / mass balance (waterbalance.py:114-288)
         if cfg.rep_total_water_storage or cfg.rep_mbts:
             d.update(_waterbalance(cfg, p, s, d, catchtotal))
+
+        # water-security indicators (indicatorcalc.py:80-235)
+        if cfg.indicator and cfg.water_use:
+            from ..ops.indicators import INDICATOR_KEYS, indicator_step, indicator_state_zero
+            from ..graph.ldd import FlowGraph  # noqa: F401 (doc reference)
+            month_dis = s["MonthDisM3"] + d["ChanQAvg"] * cfg.dt_sec
+            d["UpstreamSumMonthDis"] = ph.scatter_to_downstream(
+                month_dis, p["downstruct"], cfg.num_pixels)
+            d.update(indicator_step(cfg, p, s, d))
+            # reset monthly accumulators at month end (Lisflood_dynamic:266-268)
+            zeros = indicator_state_zero(cfg, cfg.num_pixels, d["Rain"].dtype)
+            monthend = f["MonthEnd"]
+            for k in INDICATOR_KEYS:
+                d[k] = jnp.where(monthend, zeros[k], d[k])
 
         new_state = _collect_state(cfg, s, d)
         return new_state, d
