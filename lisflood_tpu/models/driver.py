@@ -97,7 +97,7 @@ class MapStackWriter:
         self._file = f
         return f
 
-    def write_step(self, date, vec):
+    def write_step(self, date, vec, step=None):
         if self._file is None:
             self._create()
         data2d = self.grid.decompress(np.asarray(vec, dtype=np.float64))
@@ -111,6 +111,36 @@ class MapStackWriter:
         if self._file is not None:
             self._file.close()
             self._file = None
+
+
+class PCRasterStackWriter:
+    """PCRaster-format map output (output.py:170-188): one CSF .map per
+    reported step with 8.3-style numbered names (add1.py:858-889), plus the
+    plain name for end maps."""
+
+    def __init__(self, settings, grid, map_key, entry, single):
+        self.grid = grid
+        self.map_key = map_key
+        self.entry = entry
+        self.single = single
+        self.path = os.path.normpath(settings.binding.get(map_key))
+
+    def _numbered(self, step):
+        head, tail = os.path.split(self.path)
+        nr = str(step)
+        tail = tail[:8]
+        space = 11 - (len(tail) + len(nr))
+        result = f"{tail}{'0' * space}{nr}"
+        return os.path.join(head, f"{result[:8]}.{result[8:]}")
+
+    def write_step(self, date, vec, step=None):
+        data2d = self.grid.decompress(np.asarray(vec, dtype=np.float64))
+        path = self.path + ".map" if self.single else self._numbered(step)
+        write_map(path, data2d.astype(np.float32), self.grid.west, self.grid.north,
+                  self.grid.cell, VS_SCALAR)
+
+    def close(self):
+        pass
 
 
 class OutputManager:
@@ -127,14 +157,19 @@ class OutputManager:
         self.map_writers = []       # (writer, trigger) trigger in {'end','steps','all'}
         seen_paths = set()
 
+        write_nc = settings.options.get("writeNetcdf") or settings.options.get("writeNetcdfStack")
+
         def add(map_key, entry, trigger, frequency):
             path = binding.get(map_key)
             if not path:
                 return
             if trigger == "steps" and not self.rep_steps:
                 return
-            w = MapStackWriter(settings, grid, map_key, entry, self.rep_steps, frequency,
-                               single=(trigger == "end"))
+            if write_nc:
+                w = MapStackWriter(settings, grid, map_key, entry, self.rep_steps, frequency,
+                                   single=(trigger == "end"))
+            else:
+                w = PCRasterStackWriter(settings, grid, map_key, entry, single=(trigger == "end"))
             if w.path in seen_paths:
                 return
             seen_paths.add(w.path)
@@ -190,13 +225,13 @@ class OutputManager:
         for w, trigger, freq in self.map_writers:
             if trigger == "end":
                 if is_last:
-                    w.write_step(date, resolve_output(diag, w.entry.output_var))
+                    w.write_step(date, resolve_output(diag, w.entry.output_var), step=step)
             elif trigger == "steps":
                 if step in self.rep_steps and freq_ok(freq):
-                    w.write_step(date, resolve_output(diag, w.entry.output_var))
+                    w.write_step(date, resolve_output(diag, w.entry.output_var), step=step)
             else:  # all
                 if freq_ok(freq):
-                    w.write_step(date, resolve_output(diag, w.entry.output_var))
+                    w.write_step(date, resolve_output(diag, w.entry.output_var), step=step)
 
         for name, (sampler, ts) in self.tss_samplers.items():
             values = sampler.sample(resolve_output(diag, ts.output_var))

@@ -1,0 +1,131 @@
+"""Ensemble simulation: Monte Carlo and Ensemble Kalman Filter.
+
+The reference runs ensembles by forking one OS process per member through
+the PCRaster MonteCarloFramework / EnsKalmanFilterFramework
+(main.py:98-115, Lisflood_monteCarlo.py, Lisflood_EnKF.py) and pickling
+state at filter steps (stateVar.py:37-143). The TPU-native equivalent is
+a vmapped ensemble dimension: all members advance in ONE device program
+(SURVEY.md §2.6), with state perturbation on device and an EnKF analysis
+step on the stacked ensemble state.
+
+The reference's EnKF is semi-stubbed (random placeholder observations,
+Lisflood_EnKF.py:42-63); here the analysis is a standard stochastic EnKF:
+  K = P H^T (H P H^T + R)^-1 from ensemble anomalies,
+  X_a = X_f + K (y + eps - H X_f),
+applied to a chosen set of prognostic fields, observing discharge at
+gauge pixels.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .step import build_step
+
+# prognostic fields updated by the EnKF analysis (positive-clamped after)
+DEFAULT_ANALYSIS_FIELDS = ("ChanQKin", "ChanM3Kin", "UZ", "LZ", "W1a", "W1b", "W2")
+
+
+def perturb_state(key, state, fields, sigma=0.05, min_val=0.0):
+    """Multiplicative lognormal-ish perturbation of selected state fields
+    (reference perturbState, add1.py:918-945)."""
+    out = dict(state)
+    keys = jax.random.split(key, len(fields))
+    for k, field in zip(keys, fields):
+        v = state[field]
+        noise = 1.0 + sigma * jax.random.normal(k, v.shape, v.dtype)
+        out[field] = jnp.maximum(v * noise, min_val)
+    return out
+
+
+class EnsembleRunner:
+    """Vmapped ensemble of model instances sharing parameters/forcing."""
+
+    def __init__(self, runner, n_members, seed=0,
+                 perturb_fields=("UZ", "LZ", "W1a", "W1b", "W2"), sigma=0.05):
+        self.runner = runner
+        self.n = n_members
+        base_state = runner.state
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_members)
+        members = [perturb_state(k, base_state, perturb_fields, sigma) for k in keys]
+        self.state = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
+        self.vstep = jax.jit(jax.vmap(runner.step_fn, in_axes=(0, None)))
+
+    def advance(self, offset_range):
+        """Advance all members over the given step offsets."""
+        for offset in offset_range:
+            f = self.runner.forcing_for(offset, self.runner.dates[offset])
+            self.state, diag = self.vstep(self.state, f)
+        return self.state, diag
+
+    # ------------------------------------------------------------------
+    def enkf_analysis(self, obs_values, obs_pixels, obs_sigma,
+                      fields=DEFAULT_ANALYSIS_FIELDS, seed=1):
+        """Stochastic EnKF analysis on the stacked ensemble.
+
+        obs_values: (n_obs,) observed discharge [m3/s];
+        obs_pixels: (n_obs,) pixel indices of the gauges;
+        obs_sigma:  observation error std (scalar or (n_obs,)).
+        """
+        N = self.n
+        obs_pixels = jnp.asarray(obs_pixels)
+        y = jnp.asarray(obs_values, jnp.float64)
+        n_obs = y.shape[0]
+        r_std = jnp.broadcast_to(jnp.asarray(obs_sigma, jnp.float64), (n_obs,))
+
+        # forecast observations per member: H X_f
+        hx = self.state["ChanQ"][:, obs_pixels]                    # (N, n_obs)
+        hx_mean = hx.mean(0)
+        hx_anom = hx - hx_mean                                     # (N, n_obs)
+        # innovation covariance (n_obs, n_obs)
+        s = hx_anom.T @ hx_anom / (N - 1) + jnp.diag(r_std**2)
+        s_inv = jnp.linalg.inv(s)
+
+        key = jax.random.PRNGKey(seed)
+        eps = jax.random.normal(key, (N, n_obs)) * r_std           # perturbed obs
+        innov = (y[None] + eps - hx) @ s_inv                       # (N, n_obs)
+
+        new_state = dict(self.state)
+        for field in fields:
+            xf = self.state[field]                                 # (N, ...) member-major
+            flat = xf.reshape(N, -1)
+            anom = flat - flat.mean(0)
+            gain = anom.T @ hx_anom / (N - 1)                      # (dim, n_obs)
+            upd = innov @ gain.T                                   # (N, dim)
+            new_flat = jnp.maximum(flat + upd, 0.0)
+            new_state[field] = new_flat.reshape(xf.shape)
+        self.state = new_state
+        return new_state
+
+    # ------------------------------------------------------------------
+    def dump_states(self, directory, step):
+        """Persist per-member prognostic state (stateVar.py:37-143
+        analogue, npz instead of pickles)."""
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        host = jax.tree_util.tree_map(np.asarray, self.state)
+        for m in range(self.n):
+            member = {k: v[m] for k, v in host.items()}
+            np.savez(os.path.join(directory, f"stateVar_{m + 1}_{step}.npz"), **member)
+
+    def load_states(self, directory, step):
+        import os
+
+        members = []
+        for m in range(self.n):
+            data = np.load(os.path.join(directory, f"stateVar_{m + 1}_{step}.npz"))
+            members.append({k: jnp.asarray(data[k]) for k in data.files})
+        self.state = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
+
+
+def run_montecarlo(runner, n_members, seed=0, max_steps=None):
+    """Monte Carlo run: perturbed ensemble advanced to the end; returns the
+    stacked final states (main.py:98-106 analogue, vmapped not forked)."""
+    ens = EnsembleRunner(runner, n_members, seed=seed)
+    n = runner.settings.step_end_int - runner.settings.step_start_int + 1
+    if max_steps is not None:
+        n = min(n, max_steps)
+    ens.advance(range(n))
+    return ens
