@@ -68,31 +68,34 @@ class EnsembleRunner:
         obs_pixels: (n_obs,) pixel indices of the gauges;
         obs_sigma:  observation error std (scalar or (n_obs,)).
         """
+        # The analysis operates on an (n_obs, n_obs) system with n_obs in
+        # the tens — the linear algebra runs host-side (the heavy parts,
+        # the anomaly products over the state, stay on device).
         N = self.n
-        obs_pixels = jnp.asarray(obs_pixels)
-        y = jnp.asarray(obs_values, jnp.float64)
+        obs_pixels = np.asarray(obs_pixels)
+        y = np.asarray(obs_values, np.float64)
         n_obs = y.shape[0]
-        r_std = jnp.broadcast_to(jnp.asarray(obs_sigma, jnp.float64), (n_obs,))
+        r_std = np.broadcast_to(np.asarray(obs_sigma, np.float64), (n_obs,))
 
         # forecast observations per member: H X_f
-        hx = self.state["ChanQ"][:, obs_pixels]                    # (N, n_obs)
-        hx_mean = hx.mean(0)
-        hx_anom = hx - hx_mean                                     # (N, n_obs)
-        # innovation covariance (n_obs, n_obs)
-        s = hx_anom.T @ hx_anom / (N - 1) + jnp.diag(r_std**2)
-        s_inv = jnp.linalg.inv(s)
+        hx = np.asarray(self.state["ChanQ"])[:, obs_pixels]        # (N, n_obs)
+        hx_anom = hx - hx.mean(0)
+        s = hx_anom.T @ hx_anom / (N - 1) + np.diag(r_std**2)
+        s_inv = np.linalg.inv(s)
 
-        key = jax.random.PRNGKey(seed)
-        eps = jax.random.normal(key, (N, n_obs)) * r_std           # perturbed obs
+        rng = np.random.default_rng(seed)
+        eps = rng.normal(size=(N, n_obs)) * r_std                  # perturbed obs
         innov = (y[None] + eps - hx) @ s_inv                       # (N, n_obs)
 
+        innov_d = jnp.asarray(innov)
+        hx_anom_d = jnp.asarray(hx_anom)
         new_state = dict(self.state)
         for field in fields:
             xf = self.state[field]                                 # (N, ...) member-major
             flat = xf.reshape(N, -1)
             anom = flat - flat.mean(0)
-            gain = anom.T @ hx_anom / (N - 1)                      # (dim, n_obs)
-            upd = innov @ gain.T                                   # (N, dim)
+            gain = anom.T @ hx_anom_d / (N - 1)                    # (dim, n_obs)
+            upd = innov_d @ gain.T                                 # (N, dim)
             new_flat = jnp.maximum(flat + upd, 0.0)
             new_state[field] = new_flat.reshape(xf.shape)
         self.state = new_state
