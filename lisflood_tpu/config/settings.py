@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import warnings
 import xml.dom.minidom
 from dataclasses import dataclass, field
 
@@ -34,7 +35,11 @@ def _substitute(expr: str, user: dict) -> str:
         a2 = expr.find(")", a1)
         key = expr[a1 + 2 : a2]
         if key not in user:
-            raise LisfloodError(f"No lfuser variable {key!r} for expression {expr!r}")
+            # Reference is lenient here (settings.py:553-557 prints a warning
+            # and moves on); such bindings are never consumed in practice.
+            # Leave the placeholder intact so a later consumer fails loudly.
+            warnings.warn(f"no lfuser variable {key!r} for expression {expr!r}")
+            return expr
         expr = expr[:a1] + user[key] + expr[a2 + 1 :]
     return expr
 

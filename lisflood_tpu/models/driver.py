@@ -36,6 +36,33 @@ def resolve_output(diag, expr):
     return np.asarray(diag[expr])
 
 
+def _coord_pairs(value):
+    """Parse a 'x1 y1 x2 y2 ...' gauge coordinate string; None if the value
+    is not an even-length list of numbers (reference output.py:513-515)."""
+    toks = str(value).split()
+    if not toks or len(toks) % 2 != 0:
+        return None
+    try:
+        return [float(t) for t in toks]
+    except ValueError:
+        return None
+
+
+def _gauges_from_coords(coords, grid):
+    """Build a compressed gauge-id vector (i+1 at each coordinate's cell)
+    from map coordinates (reference valuecell, add1.py:102-132)."""
+    ids2d = np.zeros((grid.nrows, grid.ncols))
+    for i in range(len(coords) // 2):
+        col = int((coords[2 * i] - grid.west) / grid.cell)
+        row = int((grid.north - coords[2 * i + 1]) / grid.cell)
+        if not (0 <= row < grid.nrows and 0 <= col < grid.ncols):
+            raise LisfloodError(
+                f"Gauge coordinates {coords[2*i]},{coords[2*i+1]} outside mask "
+                f"map - col,row: {col},{row}")
+        ids2d[row, col] = i + 1
+    return grid.compress(ids2d)
+
+
 class GaugeSampler:
     """PCRaster TimeoutputTimeseries sampling: per gauge-id region average
     (zusatz.py:294-400 + pcraster areaaverage semantics)."""
@@ -192,6 +219,11 @@ class OutputManager:
             where = ts.where
             if where == "Catchments":
                 ids_vec = params["Catchments"]
+            elif _coord_pairs(binding.get(where, "")) is not None:
+                # coordinate-pair gauges: 'x1 y1 x2 y2 ...' placed on the
+                # grid by inverse cell arithmetic (reference valuecell,
+                # add1.py:102-132; dispatch output.py:513-515)
+                ids_vec = _gauges_from_coords(_coord_pairs(binding[where]), grid)
             else:
                 try:
                     ids_vec = loader.load(where)

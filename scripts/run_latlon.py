@@ -1,0 +1,115 @@
+"""Run the LF_lat_lon_UseCase geographic-grid catchment end-to-end.
+
+Mirrors reference tests/test_latlon.py:13-53 (TestLatLonShort): full-option
+run on the gridSizeUserDefined path (PCRaster .map mask, pixarea/pixleng
+user maps, PCRaster-format avgdis.map/lzavin.map warm inputs, inflow
+hydrograph). The checkout ships only the precipitation forcing (meteo/tp.nc);
+ta/e0 are synthesized here with a plausible seasonal cycle, so the committed
+dis_short.tss oracle cannot be matched numerically — this run instead gates
+that the whole geographic-grid configuration loads, compiles, and produces
+finite, hydrologically sane discharge.
+
+Usage: python scripts/run_latlon.py [n_steps]
+"""
+import os
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CASE = "/root/reference/tests/data/LF_lat_lon_UseCase"
+METEO_DIR = "/tmp/latlon_meteo"
+
+
+def synth_meteo():
+    """Create /tmp meteo dir: link tp.nc, write synthetic ta.nc / e0.nc."""
+    import h5py
+
+    os.makedirs(METEO_DIR, exist_ok=True)
+    dst = os.path.join(METEO_DIR, "tp.nc")
+    if not os.path.exists(dst):
+        os.symlink(os.path.join(CASE, "meteo", "tp.nc"), dst)
+
+    with h5py.File(os.path.join(CASE, "meteo", "tp.nc"), "r") as f:
+        time = f["time"][...]
+        time_units = f["time"].attrs["units"]
+        lat = f["lat"][...]
+        lon = f["lon"][...]
+
+    doy = (time % 365.25) / 365.25  # crude day-of-year phase
+    nt, ny, nx = len(time), len(lat), len(lon)
+
+    def write(name, var, data):
+        path = os.path.join(METEO_DIR, name)
+        if os.path.exists(path):
+            return
+        with h5py.File(path, "w") as f:
+            f.create_dataset("time", data=time)
+            f["time"].attrs["units"] = time_units
+            f["time"].attrs["calendar"] = b"proleptic_gregorian"
+            f.create_dataset("lat", data=lat)
+            f["lat"].attrs["standard_name"] = b"latitude"
+            f.create_dataset("lon", data=lon)
+            f["lon"].attrs["standard_name"] = b"longitude"
+            d = f.create_dataset(var, data=data.astype(np.float32),
+                                 chunks=(1, ny, nx))
+            d.attrs["units"] = b"degC" if var == "ta" else b"mm"
+
+    # seasonal temperature: 12degC mean, +/-10 amplitude, peak mid-year
+    ta = (12.0 - 10.0 * np.cos(2 * np.pi * doy))[:, None, None] * np.ones((1, ny, nx))
+    # potential evaporation: 1..5 mm/day seasonal
+    e0 = (3.0 - 2.0 * np.cos(2 * np.pi * doy))[:, None, None] * np.ones((1, ny, nx))
+    write("ta.nc", "ta", ta)
+    write("e0.nc", "e0", e0)
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 31
+    synth_meteo()
+    out_dir = "/tmp/latlon_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    from lisflood_tpu.config import load_settings
+    from lisflood_tpu.models.driver import LisfloodRunner
+
+    settings = load_settings(
+        os.path.join(CASE, "run_lat_lon.xml"),
+        vars_to_set={
+            "StepStart": "01/01/2016 00:00",
+            "StepEnd": "01/02/2016 00:00",
+            "PathMeteo": METEO_DIR,
+            "PathOut": out_dir,
+        },
+    )
+    runner = LisfloodRunner(settings)
+    runner.run(progress=True, max_steps=n_steps)
+
+    tss = os.path.join(out_dir, "dis_run.tss")
+    produced = sorted(os.listdir(out_dir))
+    print("outputs:", produced)
+    ok = True
+    if os.path.exists(tss):
+        rows = []
+        with open(tss) as f:
+            lines = f.readlines()
+        ncols = int(lines[1].strip())
+        for line in lines[2 + ncols:]:
+            parts = line.split()
+            if parts:
+                rows.append([float(x) for x in parts[1:]])
+        arr = np.array(rows)
+        print(f"dis_run.tss: {arr.shape[0]} steps x {arr.shape[1]} gauges, "
+              f"min={arr.min():.4f} max={arr.max():.4f} mean={arr.mean():.4f}")
+        ok &= np.isfinite(arr).all() and (arr >= 0).all() and arr.max() > 0
+    else:
+        print("MISSING dis_run.tss")
+        ok = False
+    print("LATLON", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
