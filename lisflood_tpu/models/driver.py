@@ -279,15 +279,23 @@ class OutputManager:
 class LisfloodRunner:
     """End-to-end deterministic run."""
 
-    def __init__(self, settings):
+    def __init__(self, settings, dtype=None):
         self.settings = settings
         self.config, params_np, state_np, aux = build_model(settings)
         self.aux = aux
         self.grid = aux["grid"]
         self.params_np = params_np
-        self.step_fn, self.params = build_step(self.config, params_np, aux)
         import jax.numpy as jnp
-        self.state = {k: jnp.asarray(v) for k, v in state_np.items()}
+        if dtype is None:
+            # Precision binding: 'double' (reference parity, default) or
+            # 'single' (TPU fast mode; passes the oracle tolerances
+            # atol=1e-4/rtol=1e-3 but not bitwise warm-start equality).
+            prec = str(settings.binding.get("Precision", "double")).lower()
+            dtype = jnp.float32 if prec in ("single", "float32", "f32") else jnp.float64
+        self.dtype = dtype
+        self.step_fn, self.params = build_step(self.config, params_np, aux, dtype=dtype)
+        self.state = {k: jnp.asarray(v, dtype if np.asarray(v).dtype.kind == "f" else None)
+                      for k, v in state_np.items()}
         binding = settings.binding
 
         dates = run_dates(settings)
@@ -324,12 +332,13 @@ class LisfloodRunner:
     def forcing_for(self, offset, date):
         import jax.numpy as jnp
         cal_day = int(date.strftime("%j"))
+        dt = self.dtype
         f = {
-            "Precipitation": jnp.asarray(self.forcings["Precipitation"][offset]),
-            "Tavg": jnp.asarray(self.forcings["Tavg"][offset]),
-            "ETRef": jnp.asarray(self.forcings["ETRef"][offset]),
-            "EWRef": jnp.asarray(self.forcings["EWRef"][offset]),
-            "CalendarDay": jnp.float64(cal_day),
+            "Precipitation": jnp.asarray(self.forcings["Precipitation"][offset], dt),
+            "Tavg": jnp.asarray(self.forcings["Tavg"][offset], dt),
+            "ETRef": jnp.asarray(self.forcings["ETRef"][offset], dt),
+            "EWRef": jnp.asarray(self.forcings["EWRef"][offset], dt),
+            "CalendarDay": jnp.asarray(cal_day, dt),
             "LAIInterval": jnp.int32(self.lai_lookup[cal_day]),
         }
         if self.varw_lookup is not None:
@@ -348,12 +357,12 @@ class LisfloodRunner:
                     val = data[row, col]
                     if np.isfinite(val) and val < 1e30:
                         qin[pts == pid] = val
-            f["QInM3"] = jnp.asarray(qin * self.config.dt_sec)
+            f["QInM3"] = jnp.asarray(qin * self.config.dt_sec, dt)
         if self.config.water_use:
             dt_day = self.config.dt_day
             if self.config.transient_water_demand:
                 for key in self.demand:
-                    f[key] = jnp.asarray(self.demand[key][offset]) * dt_day
+                    f[key] = jnp.asarray(self.demand[key][offset], dt) * dt_day
             else:
                 for key in ("DomesticDemandMM", "IndustrialDemandMM", "LivestockDemandMM", "EnergyDemandMM"):
                     f[key] = jnp.asarray(self.params[key])

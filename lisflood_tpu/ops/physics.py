@@ -303,7 +303,7 @@ def soil_columns_step(cfg, p, s, d):
     uz = jnp.maximum(uz - uz_outflow, 0.0)
     if cfg.drained_irrigation:
         drained = p["DrainedFraction"]
-        is_irrigated = jnp.array([0.0, 0.0, 1.0])[:, None]
+        is_irrigated = jnp.array([0.0, 0.0, 1.0], uz.dtype)[:, None]
         uz_outflow = uz_outflow + is_irrigated * drained * seep_gw
         uz = uz + jnp.where(is_irrigated > 0, (1 - drained) * seep_gw + pref_flow, seep_gw + pref_flow)
     else:
