@@ -19,6 +19,20 @@ from dataclasses import dataclass
 
 import numpy as np
 
+FORCE_PYTHON = False   # tests set this to pin the NumPy fallbacks
+
+
+def _native():
+    """The native graph library, or None (NumPy fallbacks used instead)."""
+    if FORCE_PYTHON:
+        return None
+    try:
+        from . import native
+        return native.load_library()
+    except Exception:
+        return None
+
+
 # LDD keypad encoding: code -> (row shift, col shift); 5 = pit
 LDD_OFFSETS = {
     1: (1, -1), 2: (1, 0), 3: (1, 1),
@@ -50,6 +64,10 @@ class FlowGraph:
         """Hop distance to the terminal pit: pits get 1, their upstreams 2, …
         (reference kinematic_wave_parallel.py:92-106). Because every pixel
         has exactly one downstream neighbour, dist(u) = dist(down(u)) + 1."""
+        lib = _native()
+        if lib is not None:
+            from . import native
+            return native.topo_distance(self.downstream)
         dist = -np.ones(self.num_pixels, dtype=np.int64)
         order = self.topo_order_down_up()
         down = self.downstream
@@ -94,6 +112,10 @@ class FlowGraph:
     def accuflux(self, material):
         """Accumulated flux: for each pixel the sum of `material` over all
         upstream pixels incl. itself (PCRaster accuflux)."""
+        lib = _native()
+        if lib is not None:
+            from . import native
+            return native.accuflux(self.downstream, np.asarray(material, np.float64))
         acc = np.asarray(material, dtype=np.float64).copy()
         order = self.topo_order_down_up()
         down = self.downstream
@@ -108,6 +130,10 @@ class FlowGraph:
         catchment over uniqueid(pit(ldd))): pits numbered 1..Npits in
         compressed (row-major) order, matching PCRaster's uniqueid scan
         order (reference routing.py:168-178)."""
+        lib = _native()
+        if point_ids is None and lib is not None:
+            from . import native
+            return native.catchment_labels(self.downstream)
         labels = np.zeros(self.num_pixels, dtype=np.int32)
         pits = np.flatnonzero(self.downstream < 0)
         if point_ids is None:
@@ -234,8 +260,21 @@ def build_schedule(graph: FlowGraph, chunk_size=256) -> RoutingSchedule:
     chunks. This generalises the reference's per-level batches
     (kinematic_wave_parallel.py:140-158): consecutive sparse levels fuse
     into one chunk when they have no internal dependency, reducing the
-    sequential depth of the scan."""
+    sequential depth of the scan.
+
+    Dispatches to the native C++ pass (native/graph_preproc.cpp pack_chunks,
+    equivalence-tested in tests/test_native_graph.py) and falls back to the
+    NumPy/Python implementation when the toolchain is unavailable."""
     P = graph.num_pixels
+    lib = _native()
+    if lib is not None:
+        from . import native
+        packed, _ = native.pack_chunks(graph.downstream, chunk_size)
+        downstream = np.full(P + 1, P, dtype=np.int32)
+        valid = graph.downstream >= 0
+        downstream[:P][valid] = graph.downstream[valid]
+        return RoutingSchedule(chunks=packed, downstream=downstream,
+                               num_pixels=P, chunk_size=chunk_size)
     dist = graph.topo_distance()
     # iterate headwaters (max dist) -> outlets (dist 1), stable by pixel index
     order = np.lexsort((np.arange(P), -dist))

@@ -104,11 +104,15 @@ def pack_chunks(downstream, chunk_size=256):
     n = lib.pack_chunks(np.ascontiguousarray(downstream, np.int32), dist, P,
                         chunk_size, chunk_of)
     chunks = np.full((n, chunk_size), P, dtype=np.int32)
-    fill = np.zeros(n, np.int64)
-    # pixels must be inserted in packing order (headwaters first, stable)
+    # pixels must be inserted in packing order (headwaters first, stable);
+    # chunk ids are assigned monotonically along that order, so the fill
+    # position within a chunk is the rank inside its contiguous run
     order = np.lexsort((np.arange(P), -dist))
-    for p in order:
-        c = chunk_of[p]
-        chunks[c, fill[c]] = p
-        fill[c] += 1
+    seq = chunk_of[order]
+    run_start = np.zeros(P, np.int64)
+    new_run = np.flatnonzero(np.diff(seq) != 0) + 1
+    run_start[new_run] = new_run
+    np.maximum.accumulate(run_start, out=run_start)
+    rank = np.arange(P) - run_start
+    chunks[seq, rank] = order
     return chunks, chunk_of

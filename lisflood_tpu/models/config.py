@@ -37,6 +37,9 @@ class ModelConfig:
     rep_mbts: bool = False
     rep_average_dis: bool = False
     rep_total_water_storage: bool = False
+    # kinematic-wave implementation: 'packed' (scatter-free windowed sweep,
+    # default) or 'scan' (gather/scatter reference path)
+    routing_kernel: str = "packed"
     # discretisation
     no_rout_steps: int = 24
     dt_sec: float = 86400.0
@@ -95,6 +98,7 @@ class ModelConfig:
             rep_mbts=bool(o.get("repMBTs")),
             rep_average_dis=bool(o.get("repAverageDis")),
             rep_total_water_storage=bool(o.get("repTotalWaterStorageMaps")),
+            routing_kernel=str(settings.binding.get("RoutingKernel", "packed")),
             no_rout_steps=no_rout,
             dt_sec=dt_sec,
         )

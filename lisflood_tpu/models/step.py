@@ -61,6 +61,76 @@ def state_keys(cfg):
     return keys
 
 
+def build_routers(cfg, aux):
+    """Kinematic-wave router objects for the channel and to-channel
+    (overland) drainage schedules. `cfg.routing_kernel` selects the
+    implementation: 'packed' (default, scatter-free windowed sweep) or
+    'scan' (round-1 gather/scatter path, kept as reference)."""
+    if cfg.routing_kernel == "packed":
+        from ..ops.kinwave_packed import PackedRouter
+        make = PackedRouter
+    elif cfg.routing_kernel == "scan":
+        from ..ops.kinwave import ScanRouter
+        make = ScanRouter
+    else:
+        raise ValueError(f"unknown routing_kernel {cfg.routing_kernel!r}")
+    return {"kin": make(aux["schedule_kin"]), "tochan": make(aux["schedule_tochan"])}
+
+
+def packed_routing_params(cfg, params_np, ps):
+    """Host-side schedule-order reorder of the per-pixel params the
+    channel-routing sub-step loop touches (consumed as p['kinp$...'] by
+    ops/routing_ops.channel_routing when the packed router is active).
+    Padding-slot fills are chosen so padded lanes are inert."""
+    out = {}
+
+    def pk(name, fill=0.0):
+        out["kinp$" + name] = ps.pack_np(np.asarray(params_np[name], np.float64), fill)
+
+    pk("ChanLength", 1.0)
+    pk("ChannelAlpha", 1.0)
+    out["kinp$IsChannelKinematic"] = ps.pack_np(
+        np.asarray(params_np["IsChannelKinematic"], bool), False)
+    if cfg.split_routing and not cfg.init_lisflood:
+        pk("ChannelAlpha2", 1.0)
+        pk("QLimit", 0.0)
+        pk("M3Limit", np.inf)      # padded lanes never count as over-limit
+        pk("Chan2M3Start", 0.0)
+        pk("Chan2QStart", 0.0)
+    if cfg.trans_loss:
+        out["kinp$UpTrans"] = ps.pack_np(np.asarray(params_np["UpTrans"], bool), False)
+        pk("TransPower1", 1.0)
+        pk("TransPower2", 1.0)
+        pk("TransSub", 0.0)
+    if cfg.rep_mbts:
+        # padding slots get a dedicated extra segment id so their sums
+        # never pollute the real catchment totals
+        out["kinp$Catchments"] = ps.pack_np(
+            np.asarray(params_np["Catchments"], np.int32), cfg.num_catchments)
+    # position-space downstruct for the lake/reservoir inflow lookup: built
+    # from the ORIGINAL (pre-structure-cut) downstruct, not the cut routing
+    # graph — the reference keeps LddStructuresKinematic for exactly this
+    # (structures.py:43-61, lakes.py:215): the pixel upstream of a lake is a
+    # routing pit but still delivers its discharge into the lake.
+    P = ps.num_pixels
+    p_pad = ps.p_pad
+    downstruct = np.asarray(params_np["downstruct"], np.int64)   # (P,), P = pit
+    down_pos = np.full(p_pad, p_pad, dtype=np.int32)
+    real = ps.perm < P
+    pix = ps.perm[real]
+    tgt = downstruct[pix]
+    has = tgt < P
+    dp = np.full(pix.size, p_pad, np.int64)
+    dp[has] = ps.inv_perm[tgt[has]]
+    down_pos[np.flatnonzero(real)] = dp.astype(np.int32)
+    out["kinp$down_pos"] = down_pos
+    if cfg.simulate_lakes and not cfg.init_lisflood:
+        out["kinp$LakePos"] = ps.inv_perm[np.asarray(params_np["LakeIndex"], np.int64)].astype(np.int32)
+    if cfg.simulate_reservoirs and not cfg.init_lisflood:
+        out["kinp$ResPos"] = ps.inv_perm[np.asarray(params_np["ReservoirIndex"], np.int64)].astype(np.int32)
+    return out
+
+
 def build_step(cfg, params_np, aux, dtype=jnp.float64):
     """Returns (step_fn, device_params). step_fn is jitted over (state, forcing)."""
     p = {}
@@ -72,17 +142,23 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
         else:
             p[k] = jnp.asarray(v)
 
-    routers = {
-        "kin_chunks": jnp.asarray(aux["schedule_kin"].chunks),
-        "kin_down": jnp.asarray(aux["schedule_kin"].downstream),
-        "tochan_chunks": jnp.asarray(aux["schedule_tochan"].chunks),
-        "tochan_down": jnp.asarray(aux["schedule_tochan"].downstream),
-    }
-    catch = p["Catchments"]
+    routers = build_routers(cfg, aux)
+    if hasattr(routers["kin"], "ps"):
+        for k, v in packed_routing_params(cfg, params_np, routers["kin"].ps).items():
+            p[k] = jnp.asarray(v, dtype if v.dtype.kind == "f" else None)
     ncatch = cfg.num_catchments
-    catchtotal = lambda x: segment_spread(x, catch, ncatch)
 
-    def step(s, f):
+    # Array params are passed as a jit ARGUMENT (not closed over):
+    # closed-over arrays become embedded HLO constants, which at
+    # continental scale (GB of parameters) makes tracing/compilation take
+    # minutes and bloats the executable. Scalar params stay closed over —
+    # they specialize the compilation like the option flags do.
+    p_scalars = {k: v for k, v in p.items() if not isinstance(v, jax.Array)}
+    p_arrays = {k: v for k, v in p.items() if isinstance(v, jax.Array)}
+
+    def step_impl(pa, s, f):
+        p = {**p_scalars, **pa}
+        catchtotal = lambda x: segment_spread(x, p["Catchments"], ncatch)
         d = dict(f)  # diagnostics namespace, seeded with forcing
         d["TimeSinceStart"] = s["TimeSinceStart"] + 1.0
 
@@ -187,7 +263,15 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
         new_state = _collect_state(cfg, s, d)
         return new_state, d
 
-    return jax.jit(step), p
+    jitted = jax.jit(step_impl)
+
+    def step(s, f):
+        return jitted(p_arrays, s, f)
+
+    step.impl = step_impl   # array-params-explicit form for scan/vmap composition
+    step.params = p
+    step.params_arrays = p_arrays
+    return step, p
 
 
 def build_multi_step(cfg, params_np, aux, output_keys=(), dtype=jnp.float64):
@@ -202,13 +286,20 @@ def build_multi_step(cfg, params_np, aux, output_keys=(), dtype=jnp.float64):
     step_fn, p = build_step(cfg, params_np, aux, dtype)
     output_keys = tuple(output_keys)
 
-    def multi(state, forcing_stack):
+    def multi_impl(pa, state, forcing_stack):
         def body(s, f):
-            s2, d = step_fn(s, f)
+            s2, d = step_fn.impl(pa, s, f)
             return s2, {k: d[k] for k in output_keys}
         return jax.lax.scan(body, state, forcing_stack)
 
-    return jax.jit(multi), p
+    jitted = jax.jit(multi_impl)
+
+    def multi(state, forcing_stack):
+        return jitted(step_fn.params_arrays, state, forcing_stack)
+
+    multi.impl = multi_impl
+    multi.params = p
+    return multi, p
 
 
 def _collect_state(cfg, s, d):

@@ -19,27 +19,27 @@ LDD_CODE = {(1, 0): 2, (1, 1): 3, (0, 1): 6, (-1, 1): 9, (-1, 0): 8,
 
 def synthetic_drainage(nrows, ncols, seed=0):
     """Random drainage network: every cell drains toward the bottom-right
-    with random local direction, guaranteeing acyclicity."""
+    with random local direction, guaranteeing acyclicity. Fully vectorized
+    (used at continental scale by the benchmark)."""
     rng = np.random.default_rng(seed)
     P = nrows * ncols
-    ldd = np.zeros(P, dtype=np.int8)
-    down = np.full(P, -1, dtype=np.int32)
-    for r in range(nrows):
-        for c in range(ncols):
-            p = r * ncols + c
-            choices = []
-            if r + 1 < nrows:
-                choices += [(1, 0)]
-            if c + 1 < ncols:
-                choices += [(0, 1)]
-            if r + 1 < nrows and c + 1 < ncols:
-                choices += [(1, 1)]
-            if not choices:
-                ldd[p] = 5
-                continue
-            dr, dc = choices[rng.integers(len(choices))]
-            ldd[p] = LDD_CODE[(dr, dc)]
-            down[p] = (r + dr) * ncols + (c + dc)
+    r, c = np.divmod(np.arange(P, dtype=np.int64), ncols)
+    has_s = r + 1 < nrows
+    has_e = c + 1 < ncols
+    # draw among the available directions: interior cells pick S/E/SE,
+    # last row drains E, last column drains S, bottom-right corner is a pit
+    pick = rng.integers(0, 3, P)
+    dr = np.where(has_s & has_e, (pick != 1).astype(np.int64),
+                  has_s.astype(np.int64))
+    dc = np.where(has_s & has_e, (pick != 0).astype(np.int64),
+                  has_e.astype(np.int64))
+    pit = ~has_s & ~has_e
+    dr[pit] = 0
+    dc[pit] = 0
+    code_lut = np.array([[5, 6, 0], [2, 3, 0], [0, 0, 0]], dtype=np.int8)
+    ldd = code_lut[dr, dc]
+    down = ((r + dr) * ncols + (c + dc)).astype(np.int32)
+    down[pit] = -1
     return ldd, down
 
 

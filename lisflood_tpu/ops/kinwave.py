@@ -112,6 +112,29 @@ def _route(discharge, lateral_inflow, a_dx_div_dt, chunks, downstream, beta):
 
 
 @dataclass
+class ScanRouter:
+    """Gather/scatter scan router over a RoutingSchedule (the round-1 path,
+    kept as the reference implementation behind the `RoutingKernel=scan`
+    switch; the packed scatter-free path in ops/kinwave_packed.py is the
+    default and is gated against this one at 1e-12)."""
+
+    chunks: jnp.ndarray
+    downstream: jnp.ndarray
+
+    def __init__(self, schedule):
+        self.chunks = jnp.asarray(schedule.chunks)
+        self.downstream = jnp.asarray(schedule.downstream)
+
+    def route_batched(self, discharge, lateral_inflow, a_dx_div_dt, beta):
+        return _route_batched(discharge, lateral_inflow, a_dx_div_dt,
+                              self.chunks, self.downstream, float(beta))
+
+    def route(self, discharge, lateral_inflow, a_dx_div_dt, beta):
+        return self.route_batched(discharge[None], lateral_inflow[None],
+                                  a_dx_div_dt[None], beta)[0]
+
+
+@dataclass
 class KinematicWaveRouter:
     """Router bound to a drainage schedule and channel geometry.
 

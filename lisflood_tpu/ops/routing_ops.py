@@ -13,7 +13,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .kinwave import _route, _route_batched
 from .physics import scatter_to_downstream, segment_spread
 
 
@@ -31,7 +30,6 @@ def surface_routing_step(cfg, p, s, d, routers):
     sideflow_other = (surface_run_soil[0] + surface_run_soil[2]) * mmto_m3 * inv_pl * inv_dt
     sideflow_forest = surface_run_soil[1] * mmto_m3 * inv_pl * inv_dt
 
-    chunks, down = routers["tochan_chunks"], routers["tochan_down"]
     beta = p["Beta"]
     # OFAlpha lanes [Other, Forest, Direct]; a_dx_div_dt = alpha * dx / dt
     dx = p["PixelLength"]
@@ -39,7 +37,7 @@ def surface_routing_step(cfg, p, s, d, routers):
     # route all 3 overland lanes in one batched wavefront sweep
     q0 = jnp.stack([s["OFQOther"], s["OFQForest"], s["OFQDirect"]])
     lat = jnp.stack([sideflow_other, sideflow_forest, sideflow_direct]) * dx
-    q_lanes = _route_batched(q0, lat, adx, chunks, down, beta)
+    q_lanes = routers["tochan"].route_batched(q0, lat, adx, beta)
     of_q_other, of_q_forest, of_q_direct = q_lanes[0], q_lanes[1], q_lanes[2]
 
     of_m3_direct = dx * p["OFAlpha"][2] * of_q_direct**beta
@@ -63,11 +61,12 @@ def surface_routing_step(cfg, p, s, d, routers):
     }
 
 
-def _lake_substep(cfg, p, carry, chan_q):
-    """Modified Puls lake routing (lakes.py:199-263)."""
-    P = cfg.num_pixels
-    lake_idx = p["LakeIndex"]
-    inflow_cc = scatter_to_downstream(chan_q, p["downstruct"], P)[lake_idx]
+def _lake_substep(cfg, p, carry, chan_q, lake_idx, down_idx, N):
+    """Modified Puls lake routing (lakes.py:199-263). Operates in "routing
+    space": natural pixel space or schedule-packed position space, selected
+    by the index vectors the caller passes."""
+    P = N
+    inflow_cc = scatter_to_downstream(chan_q, down_idx, P)[lake_idx]
     lake_in = (inflow_cc + carry["LakeInflowOldCC"]) * 0.5
     si = carry["LakeStorageM3CC"] / cfg.dt_routing - 0.5 * carry["LakeOutflowCC"] + lake_in
     outflow_cc = jnp.square(-p["LakeFactor"] + jnp.sqrt(p["LakeFactorSqr"] + 2 * si))
@@ -90,12 +89,12 @@ def _lake_substep(cfg, p, carry, chan_q):
     return updates, q_lake_out
 
 
-def _reservoir_substep(cfg, p, carry, chan_q):
-    """Rule-curve reservoir operation (reservoir.py:173-303)."""
-    P = cfg.num_pixels
-    res_idx = p["ReservoirIndex"]
+def _reservoir_substep(cfg, p, carry, chan_q, res_idx, down_idx, N):
+    """Rule-curve reservoir operation (reservoir.py:173-303); routing-space
+    generic like _lake_substep."""
+    P = N
     inv_day = 1.0 / 86400.0
-    inflow_cc = scatter_to_downstream(chan_q, p["downstruct"], P)[res_idx]
+    inflow_cc = scatter_to_downstream(chan_q, down_idx, P)[res_idx]
     q_in_m3 = inflow_cc * cfg.dt_routing
     storage = carry["ReservoirStorageM3CC"] + q_in_m3
     total = p["TotalReservoirStorageM3CC"]
@@ -135,34 +134,69 @@ def _reservoir_substep(cfg, p, carry, chan_q):
 def channel_routing(cfg, p, s, d, routers):
     """The NoRoutSteps sub-step loop (Lisflood_dynamic.py:176-230 +
     routing.py:435-706) as a lax.scan; returns end-of-step state and
-    diagnostics."""
+    diagnostics.
+
+    With the packed router the WHOLE sub-step loop runs in schedule-packed
+    position space: state/forcing vectors are reordered once per model
+    step, the per-sweep operands need no permutation at all, and the
+    lake/reservoir/downstream indices are the precomputed position-space
+    ones (params prefixed 'kinp$', built host-side in models/step.py).
+    The natural-space path (ScanRouter) is the identity mapping."""
     P = cfg.num_pixels
     dtype = s["ChanQKin"].dtype
-    chunks, down = routers["kin_chunks"], routers["kin_down"]
-    beta = p["Beta"]
-    dx = p["ChanLength"]
-    inv_dx = 1.0 / dx
-    adx1 = p["ChannelAlpha"] * dx / cfg.dt_routing
-    inv_alpha1 = 1.0 / p["ChannelAlpha"]
-    if cfg.split_routing and not cfg.init_lisflood:
-        adx2 = p["ChannelAlpha2"] * dx / cfg.dt_routing
-        inv_alpha2 = 1.0 / p["ChannelAlpha2"]
+    kin = routers["kin"]
+    packed = "kinp$ChanLength" in p and hasattr(kin, "route_packed")
+    if packed:
+        pk = lambda name: p["kinp$" + name]
+        pack = kin.pack
+        unpack = kin.unpack
+        N = kin.ps.p_pad
+        down_idx = pk("down_pos")
+        route_b = lambda q, lat, adx, beta: kin.route_packed(q, lat, adx, beta)
+    else:
+        pk = lambda name: p[name]
+        pack = lambda x, fill=0.0: x
+        unpack = lambda x: x
+        N = P
+        down_idx = p["downstruct"]
+        route_b = lambda q, lat, adx, beta: kin.route_batched(q, lat, adx, beta)
 
-    zero = jnp.zeros(P, dtype)
+    beta = p["Beta"]
+    dx = pk("ChanLength")
+    inv_dx = 1.0 / dx
+    adx1 = pk("ChannelAlpha") * dx / cfg.dt_routing
+    inv_alpha1 = 1.0 / pk("ChannelAlpha")
+    if cfg.split_routing and not cfg.init_lisflood:
+        adx2 = pk("ChannelAlpha2") * dx / cfg.dt_routing
+        inv_alpha2 = 1.0 / pk("ChannelAlpha2")
+
+    # per-step inputs consumed inside the sub-step loop, in routing space
+    din = {"ToChanM3RunoffDt": pack(d["ToChanM3RunoffDt"])}
+    if cfg.open_water_evapo:
+        din["EvaAddM3Dt"] = pack(d["EvaAddM3Dt"])
+    if cfg.water_use:
+        din["withdrawal_CH_actual_M3_routStep"] = pack(d["withdrawal_CH_actual_M3_routStep"])
+        din["returnflow_GwAbs2Channel_M3_routStep"] = pack(d["returnflow_GwAbs2Channel_M3_routStep"])
+    if cfg.inflow:
+        din["QInM3OldLoop"] = pack(d["QInM3OldLoop"])
+        din["QDelta"] = pack(d["QDelta"])
+
+    zero = jnp.zeros(N, dtype)
     carry = {
-        "ChanQKin": s["ChanQKin"],
-        "ChanM3Kin": s["ChanM3Kin"],
-        "ChanQ": s["ChanQ"],
+        "ChanQKin": pack(s["ChanQKin"]),
+        "ChanM3Kin": pack(s["ChanM3Kin"]),
+        "ChanQ": pack(s["ChanQ"]),
         "sumDisDay": zero,
     }
     if cfg.split_routing and not cfg.init_lisflood:
         carry.update({
-            "Chan2QKin": s["Chan2QKin"],
-            "Chan2M3Kin": s["Chan2M3Kin"],
-            "CrossSection2Area": s["CrossSection2Area"],
-            "Sideflow1Chan": s["Sideflow1Chan"],
+            "Chan2QKin": pack(s["Chan2QKin"]),
+            "Chan2M3Kin": pack(s["Chan2M3Kin"]),
+            "CrossSection2Area": pack(s["CrossSection2Area"]),
+            "Sideflow1Chan": pack(s["Sideflow1Chan"]),
         })
     if cfg.simulate_lakes and not cfg.init_lisflood:
+        lake_idx = pk("LakePos") if packed else p["LakeIndex"]
         carry.update({
             "LakeStorageM3CC": s["LakeStorageM3CC"],
             "LakeInflowOldCC": s["LakeInflowOldCC"],
@@ -174,6 +208,7 @@ def channel_routing(cfg, p, s, d, routers):
             "sumLakeOutCC": jnp.zeros(cfg.num_lakes, dtype),
         })
     if cfg.simulate_reservoirs and not cfg.init_lisflood:
+        res_idx = pk("ResPos") if packed else p["ReservoirIndex"]
         carry.update({
             "ReservoirStorageM3CC": s["ReservoirStorageM3CC"],
             "ReservoirFillCC": s["ReservoirFillCC"],
@@ -181,41 +216,44 @@ def channel_routing(cfg, p, s, d, routers):
             "sumResOutCC": jnp.zeros(cfg.num_reservoirs, dtype),
         })
     if cfg.trans_loss:
-        carry["TransCum"] = s["TransCum"]
+        carry["TransCum"] = pack(s["TransCum"])
     if cfg.rep_mbts:
         carry["AddedTRUN"] = zero
     if cfg.inflow:
         carry["QinADDEDM3"] = zero
 
-    catch = p["Catchments"]
-    ncatch = cfg.num_catchments
-    catchtotal = lambda x: segment_spread(x, catch, ncatch)
+    # in-loop catchment totals: in packed space the padding slots carry an
+    # extra segment id (num_catchments) so they never pollute real sums
+    if cfg.rep_mbts:
+        catch_rs = pk("Catchments") if packed else p["Catchments"]
+        ncatch_rs = cfg.num_catchments + (1 if packed else 0)
+        catchtotal_rs = lambda x: segment_spread(x, catch_rs, ncatch_rs)
 
     def substep(carry, n):
         c = dict(carry)
-        sideflow_m3 = d["ToChanM3RunoffDt"]
+        sideflow_m3 = din["ToChanM3RunoffDt"]
 
         if cfg.simulate_lakes and not cfg.init_lisflood:
-            lake_updates, q_lake_out = _lake_substep(cfg, p, c, c["ChanQ"])
+            lake_updates, q_lake_out = _lake_substep(cfg, p, c, c["ChanQ"], lake_idx, down_idx, N)
             c.update(lake_updates)
         if cfg.simulate_reservoirs and not cfg.init_lisflood:
-            res_updates, q_res_out = _reservoir_substep(cfg, p, c, c["ChanQ"])
+            res_updates, q_res_out = _reservoir_substep(cfg, p, c, c["ChanQ"], res_idx, down_idx, N)
             c.update(res_updates)
         if cfg.inflow:
-            q_in_dt = (d["QInM3OldLoop"] + (n + 1) * d["QDelta"]) / cfg.no_rout_steps
+            q_in_dt = (din["QInM3OldLoop"] + (n + 1) * din["QDelta"]) / cfg.no_rout_steps
             c["QinADDEDM3"] = c["QinADDEDM3"] + q_in_dt
         if cfg.trans_loss:
-            trans_out = jnp.where(p["UpTrans"],
-                                  (c["ChanQ"] ** p["TransPower2"] - p["TransSub"]) ** p["TransPower1"],
+            trans_out = jnp.where(pk("UpTrans"),
+                                  (c["ChanQ"] ** pk("TransPower2") - pk("TransSub")) ** pk("TransPower1"),
                                   c["ChanQ"])
             trans_loss_m3 = (c["ChanQ"] - trans_out) * cfg.dt_routing
             c["TransCum"] = c["TransCum"] + trans_loss_m3
 
         # sideflow assembly (routing.py:462-478)
         if cfg.open_water_evapo:
-            sideflow_m3 = sideflow_m3 - d["EvaAddM3Dt"]
+            sideflow_m3 = sideflow_m3 - din["EvaAddM3Dt"]
         if cfg.water_use:
-            wuse_add = d["withdrawal_CH_actual_M3_routStep"] - d["returnflow_GwAbs2Channel_M3_routStep"]
+            wuse_add = din["withdrawal_CH_actual_M3_routStep"] - din["returnflow_GwAbs2Channel_M3_routStep"]
             sideflow_m3 = sideflow_m3 - wuse_add
         if cfg.inflow:
             sideflow_m3 = sideflow_m3 + q_in_dt
@@ -228,22 +266,22 @@ def channel_routing(cfg, p, s, d, routers):
                 sideflow_m3 = sideflow_m3 + q_res_out
 
         if cfg.rep_mbts:
-            added = catchtotal(d["ToChanM3RunoffDt"])
+            added = catchtotal_rs(din["ToChanM3RunoffDt"])
             if cfg.inflow:
-                added = added + catchtotal(q_in_dt)
+                added = added + catchtotal_rs(q_in_dt)
             if cfg.open_water_evapo:
-                added = added - catchtotal(d["EvaAddM3Dt"])
+                added = added - catchtotal_rs(din["EvaAddM3Dt"])
             if cfg.water_use:
-                added = added - catchtotal(wuse_add)
+                added = added - catchtotal_rs(wuse_add)
             c["AddedTRUN"] = c["AddedTRUN"] + added
 
-        sideflow = jnp.where(p["IsChannelKinematic"], sideflow_m3 * inv_dx / cfg.dt_routing, 0)
+        sideflow = jnp.where(pk("IsChannelKinematic"), sideflow_m3 * inv_dx / cfg.dt_routing, 0)
         sideflow = jnp.where(jnp.isnan(sideflow), 0.0, sideflow)
 
         if cfg.init_lisflood or not cfg.split_routing:
             # single routing (routing.py:518-541)
-            q = _route(c["ChanQKin"], sideflow * dx, adx1, chunks, down, beta)
-            m3 = dx * p["ChannelAlpha"] * q**beta
+            q = route_b(c["ChanQKin"][None], (sideflow * dx)[None], adx1[None], beta)[0]
+            m3 = dx * pk("ChannelAlpha") * q**beta
             m3 = jnp.maximum(m3, 0.0)
             q = (m3 * inv_dx * inv_alpha1) ** (1 / beta)
             c["ChanQKin"] = q
@@ -254,28 +292,28 @@ def channel_routing(cfg, p, s, d, routers):
             # double routing (routing.py:543-604)
             ratio_den = c["ChanM3Kin"] + c["Chan2M3Kin"]
             sideflow_ratio = jnp.where(ratio_den > 0, c["ChanM3Kin"] / jnp.where(ratio_den > 0, ratio_den, 1.0), 0.0)
-            over_limit = (c["ChanM3Kin"] + c["Chan2M3Kin"] - p["Chan2M3Start"]) > p["M3Limit"]
+            over_limit = (c["ChanM3Kin"] + c["Chan2M3Kin"] - pk("Chan2M3Start")) > pk("M3Limit")
             sideflow1 = jnp.where(over_limit, sideflow_ratio * sideflow, sideflow)
             sideflow1 = jnp.where(jnp.abs(sideflow) < 1e-7, sideflow, sideflow1)
             sideflow2 = sideflow - sideflow1
-            sideflow2 = sideflow2 + p["Chan2QStart"] * inv_dx
+            sideflow2 = sideflow2 + pk("Chan2QStart") * inv_dx
             c["Sideflow1Chan"] = sideflow1
 
             # main channel + floodplain routed in one batched sweep
-            q12 = _route_batched(
+            q12 = route_b(
                 jnp.stack([c["ChanQKin"], c["Chan2QKin"]]),
                 jnp.stack([sideflow1, sideflow2]) * dx,
-                jnp.stack([adx1, adx2]), chunks, down, beta)
+                jnp.stack([adx1, adx2]), beta)
             q1, q2 = q12[0], q12[1]
-            m31 = jnp.maximum(dx * p["ChannelAlpha"] * q1**beta, 0.0)
+            m31 = jnp.maximum(dx * pk("ChannelAlpha") * q1**beta, 0.0)
             q1 = (m31 * inv_dx * inv_alpha1) ** (1 / beta)
 
-            m32 = dx * p["ChannelAlpha2"] * q2**beta
-            m32 = jnp.where(m32 - p["Chan2M3Start"] < 0.0, p["Chan2M3Start"], m32)
-            cross2 = (m32 - p["Chan2M3Start"]) * inv_dx
+            m32 = dx * pk("ChannelAlpha2") * q2**beta
+            m32 = jnp.where(m32 - pk("Chan2M3Start") < 0.0, pk("Chan2M3Start"), m32)
+            cross2 = (m32 - pk("Chan2M3Start")) * inv_dx
             q2 = (m32 * inv_dx * inv_alpha2) ** (1 / beta)
 
-            chan_q = jnp.maximum(q1 + q2 - p["QLimit"], 0.0)
+            chan_q = jnp.maximum(q1 + q2 - pk("QLimit"), 0.0)
             c["ChanQKin"] = q1
             c["ChanM3Kin"] = m31
             c["Chan2QKin"] = q2
@@ -287,6 +325,17 @@ def channel_routing(cfg, p, s, d, routers):
         return c, None
 
     carry, _ = jax.lax.scan(substep, carry, jnp.arange(cfg.no_rout_steps))
+
+    # back to natural pixel space for the post-loop diagnostics
+    for key in ("ChanQKin", "ChanM3Kin", "ChanQ", "sumDisDay", "Chan2QKin",
+                "Chan2M3Kin", "CrossSection2Area", "Sideflow1Chan",
+                "TransCum", "AddedTRUN", "QinADDEDM3"):
+        if key in carry:
+            carry[key] = unpack(carry[key])
+
+    dx = p["ChanLength"]
+    inv_dx = 1.0 / dx
+    catchtotal = lambda x: segment_spread(x, p["Catchments"], cfg.num_catchments)
 
     out = dict(carry)
     if cfg.inflow:

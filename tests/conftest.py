@@ -10,14 +10,22 @@ end-to-end and the oracle comparisons are run at atol=1e-4 / rtol=1e-3
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend via jax.config, NOT the env var: in environments
+# where a TPU plugin (e.g. axon) is active, JAX_PLATFORMS is ignored and a
+# plain env-var setdefault silently leaves the suite contending for the
+# single real chip (verified round 1 — a plain pytest run hung >10 min).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu", "test suite must run on the CPU backend"
+assert len(jax.devices()) >= 8, "virtual 8-device CPU mesh not active"
 
 import pytest  # noqa: E402
 

@@ -103,6 +103,85 @@ def test_route_zero_inflow_drains(env):
     assert (Q >= 0).all()
 
 
+@pytest.mark.slow
+def test_packed_router_matches_serial_oracle(env):
+    """The scatter-free packed sweep (the production path) against the
+    serial Newton oracle — same gate as the scan path."""
+    from lisflood_tpu.ops.kinwave_packed import PackedRouter
+
+    s, grid, loader, graph = env
+    P = graph.num_pixels
+    rng = np.random.default_rng(7)
+    beta = 0.6
+    dx = np.full(P, 5000.0)
+    dt = 3600.0
+    alpha = rng.uniform(0.5, 5.0, P)
+    a_dx_div_dt = alpha * dx / dt
+    Q0 = rng.uniform(0.0, 50.0, P)
+    qlat = rng.uniform(0.0, 1e-4, P)
+
+    expected = serial_oracle(graph, Q0, qlat * dx, a_dx_div_dt, beta)
+
+    sched = build_schedule(graph, chunk_size=128)
+    router = PackedRouter(sched)
+    got = np.asarray(router.route(Q0, qlat * dx, a_dx_div_dt, beta))
+    np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-12)
+
+
+def test_packed_equals_scan_router(env):
+    """Equivalence of the two routing kernels on the real drainage graph
+    (multi-lane batched form), 1e-12."""
+    from lisflood_tpu.ops.kinwave import ScanRouter
+    from lisflood_tpu.ops.kinwave_packed import PackedRouter
+
+    s, grid, loader, graph = env
+    P = graph.num_pixels
+    rng = np.random.default_rng(3)
+    beta = 0.6
+    L = 3
+    q0 = rng.uniform(0, 100, (L, P))
+    lat = rng.uniform(0, 5, (L, P))
+    adx = rng.uniform(1e-3, 1e3, (L, P))
+    sched = build_schedule(graph)
+    a = np.asarray(ScanRouter(sched).route_batched(q0, lat, adx, beta))
+    b = np.asarray(PackedRouter(sched).route_batched(q0, lat, adx, beta))
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12)
+
+
+def test_newton_fixed_iterations_converge():
+    """Adversarial convergence sweep for the fixed-iteration Newton solve
+    (the claim behind NEWTON_FIXED_ITERS=6): across channel-geometry
+    extremes the 6-iteration result equals the 18-iteration result exactly
+    (frozen fixed point) and satisfies the reference solver's stopping
+    contract |err|<=1e-12 or stationarity
+    (kinematic_wave_parallel_tools.py:26-28,64-71)."""
+    import jax.numpy as jnp
+    from lisflood_tpu.ops.kinwave_packed import _newton_unrolled
+
+    beta = 0.6
+    # a*dx/dt from extremes: alpha in [5e-4 (huge deep channel), 5e2
+    # (steep rough trickle)], dx in [50 m, 10 km], dt in [60 s, 86400 s]
+    adx_vals = np.logspace(-4, 5, 40)
+    # const = a*dx/dt*Qold^beta + q*dx covers drought trickles to mega-floods
+    c_vals = np.logspace(-10, 6, 40)
+    adx, c = np.meshgrid(adx_vals, c_vals)
+    adx = jnp.asarray(adx.ravel())
+    c = jnp.asarray(c.ravel())
+
+    q6 = np.asarray(_newton_unrolled(c, adx, beta, iters=6))
+    q18 = np.asarray(_newton_unrolled(c, adx, beta, iters=18))
+    np.testing.assert_array_equal(q6, q18)
+
+    err = np.abs(q6 + np.asarray(adx) * q6 ** beta - np.asarray(c))
+    # reference stopping contract: tol, stationarity (captured by q6==q18
+    # above, in ulps of the operands), or the sub-tolerance zero
+    # short-circuit (solutions below NEWTON_TOL are snapped to 0, exactly
+    # like solve1Pixel)
+    eps = np.finfo(np.float64).eps
+    ok = (q6 == 0.0) | (err <= 1e-12) | (err <= 16 * eps * np.asarray(c))
+    assert ok.all(), f"max residual {err.max()} at c={np.asarray(c)[err.argmax()]}"
+
+
 def test_mass_is_transported_downstream(env):
     """Inject water at one headwater pixel; discharge must appear at its
     downstream neighbour after routing."""

@@ -78,6 +78,41 @@ def test_mass_balance_structures(tmp_path):
 
 
 @pytest.mark.slow
+def test_routing_kernels_equivalent_full_model(tmp_path):
+    """The packed (schedule-order, scatter-free) routing path against the
+    gather/scatter scan path on the real model with the full option set:
+    all prognostic state equal to 1e-12 after several steps."""
+    import warnings
+    from lisflood_tpu.models.driver import LisfloodRunner
+
+    opts_on = ("SplitRouting", "simulateLakes", "simulateReservoirs",
+               "openwaterevapo", "drainedIrrigation", "repMBTs", "TransLoss")
+    states = {}
+    for kernel in ("packed", "scan"):
+        v = dict(BASE_VARS)
+        v["PathOut"] = str(tmp_path / kernel)
+        (tmp_path / kernel).mkdir()
+        s = load_settings(os.path.join(CASE, "settings", "base.xml"),
+                          opts_to_set=opts_on,
+                          opts_to_unset=("wateruse", "riceIrrigation", "groundwaterSmooth"),
+                          vars_to_set=v)
+        s.binding["RoutingKernel"] = kernel
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = LisfloodRunner(s)
+        state = r.state
+        for i in range(3):
+            f = r.forcing_for(i, r.dates[i])
+            state, diag = r.step_fn(state, f)
+        states[kernel] = state
+
+    for key in states["scan"]:
+        a = np.asarray(states["scan"][key])
+        b = np.asarray(states["packed"][key])
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12, err_msg=key)
+
+
+@pytest.mark.slow
 def test_warmstart_roundtrip(tmp_path):
     """Cold 8-step run == 4-step run + warm restart for 4 steps
     (reference tests/test_warmstart.py:34-154)."""

@@ -8,6 +8,17 @@ from lisflood_tpu.config import load_settings
 from lisflood_tpu.io import build_grid, MapLoader
 from lisflood_tpu.graph import build_flow_graph, build_schedule
 from lisflood_tpu.graph import native
+from lisflood_tpu.graph import ldd as _ldd
+
+
+@pytest.fixture(autouse=True)
+def force_python_fallbacks():
+    """Pin the FlowGraph methods to the NumPy implementations so these
+    tests genuinely compare native vs python (build_schedule and friends
+    dispatch to the native library by default)."""
+    _ldd.FORCE_PYTHON = True
+    yield
+    _ldd.FORCE_PYTHON = False
 
 CASE = "/root/reference/tests/data/LF_ETRS89_UseCase"
 
