@@ -53,6 +53,30 @@ class MapLoader:
         self.binding = settings.binding
         self.grid = grid
         self._cache = {}
+        self.flags = getattr(settings, "flags", {}) or {}
+        # -c checkfiles audit rows: (name, path, nonMV, missing-in-mask,
+        # min, mean, max)  (reference zusatz.py:49-113 checkmap)
+        self.check_rows = []
+
+    def _audit(self, name, value, vec):
+        """checkfiles (-c) statistics + nancheck (-n) warning for a loaded
+        map (reference zusatz.py:49-113, add1.py:981-986)."""
+        if self.flags.get("checkfiles"):
+            if np.isscalar(vec):
+                self.check_rows.append((name, str(value), "nonmap", "", "", "", ""))
+            else:
+                finite = np.isfinite(vec)
+                n = int(finite.sum())
+                missing = int(vec.size - n)
+                vmin = float(np.nanmin(vec)) if n else float("nan")
+                vmax = float(np.nanmax(vec)) if n else float("nan")
+                vmean = float(np.nansum(vec) / n) if n else float("nan")
+                self.check_rows.append((name, str(value), n, missing, vmin, vmean, vmax))
+        if self.flags.get("nancheck") and not np.isscalar(vec):
+            if np.isnan(vec).any():
+                import warnings
+                from ..utils.errors import LisfloodWarning
+                warnings.warn(LisfloodWarning(f"Warning: NaN values in map {name} ({value})"))
 
     # ------------------------------------------------------------------
     def load(self, name, timestampflag="exact", averageyearflag=False, default=None):
@@ -63,7 +87,9 @@ class MapLoader:
                 return default
             raise LisfloodError(f"No binding for map {name!r}")
         try:
-            return float(value)
+            scalar = float(value)
+            self._audit(name, value, scalar)
+            return scalar
         except (TypeError, ValueError):
             pass
         data2d, from_int = self._read_2d_typed(name, value, timestampflag, averageyearflag)
@@ -72,8 +98,11 @@ class MapLoader:
             # the mask keep a -9999 sentinel instead of raising (the
             # reference's NaN check only applies to float maps, add1.py:277-280)
             vec = self.grid.compress(data2d)
+            self._audit(name, value, vec)
             return np.where(np.isnan(vec), -9999.0, vec).astype(np.float64)
-        return self.grid.compress(data2d, check_name=value).astype(np.float64)
+        vec = self.grid.compress(data2d, check_name=value).astype(np.float64)
+        self._audit(name, value, vec)
+        return vec
 
     def load_2d(self, name, timestampflag="exact", averageyearflag=False):
         """Load binding `name` as the raw 2-D clone-window raster (float,

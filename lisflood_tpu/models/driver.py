@@ -28,12 +28,25 @@ _INDEXED = re.compile(r"^(\w+)\[(\d+)\]$")
 
 
 def resolve_output(diag, expr):
-    """Resolve a ReportedMap/TimeSeries output_var expression ('LZ',
-    'Theta1a[2]') against the diagnostics dict."""
+    """Resolve a ReportedMap/TimeSeries output_var expression against the
+    diagnostics dict: a plain name ('LZ'), an indexed name ('Theta1a[2]'),
+    or an arithmetic expression as the reference evals them
+    ('EvaAddM3*self.var.M3toMM', output.py:566)."""
     m = _INDEXED.match(expr)
     if m:
         return np.asarray(diag[m.group(1)])[int(m.group(2))]
-    return np.asarray(diag[expr])
+    if expr in diag:
+        return np.asarray(diag[expr])
+    import types
+    ns = {k: np.asarray(v) for k, v in diag.items()}
+    ns["self"] = types.SimpleNamespace(var=types.SimpleNamespace(**ns))
+    return np.asarray(eval(expr, {"__builtins__": {}}, ns))
+
+
+def output_var_fields(expr):
+    """Diagnostic field names an output_var expression depends on."""
+    return {t for t in re.findall(r"[A-Za-z_]\w*", expr.replace("self.var.", " "))
+            if t not in ("self", "var")}
 
 
 def _coord_pairs(value):
@@ -77,17 +90,72 @@ class GaugeSampler:
         return np.array([values[m].mean() if m.any() else np.nan for m in self.masks])
 
 
+_H5_INTERNAL_ATTRS = ("CLASS", "NAME", "REFERENCE_LIST", "DIMENSION_LIST",
+                      "_Netcdf4Dimid", "_Netcdf4Coordinates", "_FillValue")
+
+
+class TemplateMeta:
+    """Coordinate + projection metadata from the netCDF template — the
+    analogue of the reference's NetCDFMetadata singleton
+    (settings.py:285-326), consumed by the map writer so geographic grids
+    get lon/lat dims + the projection variable exactly like
+    write_netcdf_header (netcdf.py:494-530)."""
+
+    _XY_DEFAULTS = {
+        "x": {"units": "Meter", "standard_name": "projection_x_coordinate",
+              "long_name": "x coordinate of projection"},
+        "y": {"units": "Meter", "standard_name": "projection_y_coordinate",
+              "long_name": "y coordinate of projection"},
+        "lon": {"units": "degrees_east", "standard_name": "longitude",
+                "long_name": "longitude coordinate"},
+        "lat": {"units": "degrees_north", "standard_name": "latitude",
+                "long_name": "latitude coordinate"},
+    }
+
+    def __init__(self, settings):
+        self.dims = ("x", "y")      # (x-like, y-like)
+        self.coord_attrs = {}
+        self.proj = None            # (var_name, attrs)
+        path = (settings.binding.get("netCDFtemplate")
+                or settings.binding.get("PrecipitationMaps"))
+        if path:
+            try:
+                from ..io.ncdf import NcFile
+                with NcFile(path) as nc:
+                    xd, yd = nc.spatial_dims
+                    self.dims = (xd, yd)
+                    for d in (xd, yd):
+                        self.coord_attrs[d] = {
+                            k: v for k, v in nc.attrs(d).items()
+                            if k not in _H5_INTERNAL_ATTRS}
+                    for name in ("laea", "lambert_azimuthal_equal_area"):
+                        if nc.has(name):
+                            self.proj = (name, {
+                                k: v for k, v in nc.attrs(name).items()
+                                if k not in _H5_INTERNAL_ATTRS})
+                            break
+            except Exception:
+                pass
+
+    def attrs_for(self, dim):
+        at = dict(self._XY_DEFAULTS.get(dim, {}))
+        at.update(self.coord_attrs.get(dim, {}))
+        return at
+
+
 class MapStackWriter:
     """netCDF stack writer for one reported map (output.py:68-167 +
     netcdf.py:432-584)."""
 
-    def __init__(self, settings, grid, map_key, entry, rep_steps, frequency, single):
+    def __init__(self, settings, grid, map_key, entry, rep_steps, frequency, single,
+                 meta=None):
         self.settings = settings
         self.grid = grid
         self.map_key = map_key
         self.entry = entry
         self.frequency = frequency
         self.single = single          # end map: single 2-D field
+        self.meta = meta or TemplateMeta(settings)
         path = settings.binding.get(map_key)
         self.path = os.path.normpath(path) + ".nc"
         self.var_name = os.path.basename(os.path.normpath(path))
@@ -103,12 +171,19 @@ class MapStackWriter:
         f.attrs["Source_Software"] = "LISFLOOD-TPU"
         f.attrs["source"] = "Lisflood output maps"
         f.attrs["Conventions"] = "CF-1.6"
-        ncdf.add_dimension(f, "x", self.grid.coords_x(), {"units": "Meter", "standard_name": "projection_x_coordinate"})
-        ncdf.add_dimension(f, "y", self.grid.coords_y(), {"units": "Meter", "standard_name": "projection_y_coordinate"})
+        xd, yd = self.meta.dims
+        ncdf.add_dimension(f, xd, self.grid.coords_x(), self.meta.attrs_for(xd))
+        ncdf.add_dimension(f, yd, self.grid.coords_y(), self.meta.attrs_for(yd))
         dtype = binding.get("OutputMapsDataType", "float64")
         attrs = {"standard_name": self.map_key, "long_name": self.entry.output_var, "units": self.entry.unit}
+        if self.meta.proj is not None:
+            proj_name, proj_attrs = self.meta.proj
+            proj = f.create_dataset(proj_name, data=np.int32(0))
+            for k, v in proj_attrs.items():
+                proj.attrs[k] = v
+            attrs["grid_mapping"] = proj_name
         if self.single:
-            ds = ncdf.add_variable(f, self.var_name, ("y", "x"), dtype, fill_value=-9999.0, attrs=attrs)
+            ds = ncdf.add_variable(f, self.var_name, (yd, xd), dtype, fill_value=-9999.0, attrs=attrs)
         else:
             dt_sec = float(binding["DtSec"])
             start = parse_date_or_step(binding["CalendarDayStart"], binding["calendar_type"])
@@ -119,7 +194,7 @@ class MapStackWriter:
             else:
                 units = "minutes since %s" % start.strftime("%Y-%m-%d %H:%M:%S.0")
             ncdf.add_unlimited_time(f, units, binding["calendar_type"])
-            ds = ncdf.add_variable(f, self.var_name, ("time", "y", "x"), dtype,
+            ds = ncdf.add_variable(f, self.var_name, ("time", yd, xd), dtype,
                                    fill_value=-9999.0, chunks=(1, self.grid.nrows, self.grid.ncols), attrs=attrs)
         self._file = f
         return f
@@ -185,6 +260,15 @@ class OutputManager:
         seen_paths = set()
 
         write_nc = settings.options.get("writeNetcdf") or settings.options.get("writeNetcdfStack")
+        meta = TemplateMeta(settings)
+
+        # TSS `operation` support (reference output.py:566-574): catchment
+        # 'total' = accuflux(value*PixelArea)/UpArea; 'mapmaximum' = global max
+        self._params = params
+        self._graph = aux.get("graph_full")
+        self._pixel_area = np.asarray(params["PixelArea"], np.float64)
+        up_area = np.asarray(params["UpArea"], np.float64)
+        self._inv_up_area = np.where(up_area > 0, 1.0 / up_area, 0.0)
 
         def add(map_key, entry, trigger, frequency):
             path = binding.get(map_key)
@@ -194,7 +278,7 @@ class OutputManager:
                 return
             if write_nc:
                 w = MapStackWriter(settings, grid, map_key, entry, self.rep_steps, frequency,
-                                   single=(trigger == "end"))
+                                   single=(trigger == "end"), meta=meta)
             else:
                 w = PCRasterStackWriter(settings, grid, map_key, entry, single=(trigger == "end"))
             if w.path in seen_paths:
@@ -241,14 +325,23 @@ class OutputManager:
             self.tss_samplers[name] = (sampler, ts)
 
     def needed_fields(self):
+        """Diagnostic fields the active outputs read (params excluded —
+        compound expressions may reference converters like M3toMM, which
+        resolve from the params side instead)."""
         fields = set()
         for w, _, _ in self.map_writers:
-            m = _INDEXED.match(w.entry.output_var)
-            fields.add(m.group(1) if m else w.entry.output_var)
+            fields |= output_var_fields(w.entry.output_var)
         for _, (_, ts) in self.tss_samplers.items():
-            m = _INDEXED.match(ts.output_var)
-            fields.add(m.group(1) if m else ts.output_var)
-        return fields
+            fields |= output_var_fields(ts.output_var)
+        return {f for f in fields if f not in self._params}
+
+    def _resolve(self, diag, expr):
+        try:
+            return resolve_output(diag, expr)
+        except (KeyError, AttributeError):
+            merged = dict(self._params)
+            merged.update(diag)
+            return resolve_output(merged, expr)
 
     def report(self, step, date, diag, monthend=False, yearend=False, is_last=False):
         def freq_ok(freq):
@@ -257,16 +350,25 @@ class OutputManager:
         for w, trigger, freq in self.map_writers:
             if trigger == "end":
                 if is_last:
-                    w.write_step(date, resolve_output(diag, w.entry.output_var), step=step)
+                    w.write_step(date, self._resolve(diag, w.entry.output_var), step=step)
             elif trigger == "steps":
                 if step in self.rep_steps and freq_ok(freq):
-                    w.write_step(date, resolve_output(diag, w.entry.output_var), step=step)
+                    w.write_step(date, self._resolve(diag, w.entry.output_var), step=step)
             else:  # all
                 if freq_ok(freq):
-                    w.write_step(date, resolve_output(diag, w.entry.output_var), step=step)
+                    w.write_step(date, self._resolve(diag, w.entry.output_var), step=step)
 
         for name, (sampler, ts) in self.tss_samplers.items():
-            values = sampler.sample(resolve_output(diag, ts.output_var))
+            field = np.asarray(self._resolve(diag, ts.output_var), np.float64)
+            op = ts.operation[0] if ts.operation else ""
+            if op == "mapmaximum":
+                # reference output.py:568-570: sample the map-wide maximum
+                field = np.full_like(field, np.nanmax(field))
+            elif op == "total" and self._graph is not None:
+                # reference output.py:571-573: upstream-average via
+                # catchmenttotal(value*PixelArea, Ldd) * InvUpArea
+                field = self._graph.accuflux(np.nan_to_num(field) * self._pixel_area) * self._inv_up_area
+            values = sampler.sample(field)
             self.tss_writers[name].sample(step, values)
 
     def close(self):
@@ -438,6 +540,35 @@ class LisfloodRunner:
 
 
 def lisfloodexe(settings):
+    """Run orchestrator (reference main.py:56-157): pre-flight checkers,
+    model build, then the deterministic run — or the MonteCarlo / EnKF
+    ensemble when EnsMembers/FilterSteps are configured — honouring the
+    -c/-i audit flags."""
+    from ..config.checkers import check_modules_inputs, check_meteo_forcings
+
+    flags = settings.flags
+    check_modules_inputs(settings)
+    check_meteo_forcings(settings)
     runner = LisfloodRunner(settings)
-    runner.run(progress=not settings.flags.get("veryquiet"))
+
+    if flags.get("checkfiles"):
+        # -c: per-map statistics audit, no model run (zusatz.py:49-113)
+        rows = runner.aux["loader"].check_rows
+        print(f"{'Name':20s} {'File/Value':40s} {'nonMV':>10s} {'MV-in-mask':>10s} "
+              f"{'min':>12s} {'mean':>12s} {'max':>12s}")
+        for name, value, n, miss, vmin, vmean, vmax in rows:
+            fmt = lambda v: f"{v:12.4g}" if isinstance(v, float) else f"{v:>12}"
+            print(f"{name:20s} {value[-40:]:40s} {n!s:>10s} {miss!s:>10s} "
+                  f"{fmt(vmin)} {fmt(vmean)} {fmt(vmax)}")
+        return runner
+
+    if flags.get("initonly"):
+        print("initonly flag activated... Stopping now before entering time loop.")
+        return runner
+
+    if settings.ens_members > 1:
+        from .ensemble import run_from_settings
+        run_from_settings(runner, settings)
+    else:
+        runner.run(progress=not settings.flags.get("veryquiet"))
     return runner

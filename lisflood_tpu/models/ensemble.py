@@ -123,6 +123,43 @@ class EnsembleRunner:
         self.state = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
 
 
+def run_from_settings(runner, settings, seed=0):
+    """MonteCarlo / EnKF orchestration from the settings file (reference
+    main.py:98-115): `EnsMembers` > 1 selects the vmapped ensemble (the
+    reference forks a process per sample — setForkSamples, main.py:104-106);
+    `FilterSteps` turn the run into an Ensemble Kalman Filter: advance to
+    each filter step, dump per-member state (stateVar.dynamic, stateVar.py:
+    37-143), run the analysis, resume. The reference's setObservations is a
+    random placeholder (Lisflood_EnKF.py:50-63); here the analysis
+    assimilates the ensemble-mean outlet discharge with 10% error — a
+    deterministic stand-in that exercises the same machinery."""
+    import os
+
+    ens = EnsembleRunner(runner, settings.ens_members, seed=seed)
+    start = settings.step_start_int
+    end = settings.step_end_int
+    n_steps = end - start + 1
+    filter_offsets = sorted(st - start + 1 for st in settings.filter_steps
+                            if start <= st <= end)
+    state_dir = os.path.join(settings.output_dir, "stateVar")
+    obs_pixels = np.flatnonzero(np.asarray(runner.params_np["AtLastPointC"]))
+
+    prev = 0
+    for off in filter_offsets:
+        ens.advance(range(prev, off))
+        step = start + off - 1
+        ens.dump_states(state_dir, step)
+        if obs_pixels.size:
+            hx = np.asarray(ens.state["ChanQ"])[:, obs_pixels]
+            y = hx.mean(0)
+            sigma = np.maximum(0.1 * np.abs(y), 1e-6)
+            ens.enkf_analysis(y, obs_pixels, sigma, seed=seed + off)
+        prev = off
+    if prev < n_steps:
+        ens.advance(range(prev, n_steps))
+    return ens
+
+
 def run_montecarlo(runner, n_members, seed=0, max_steps=None):
     """Monte Carlo run: perturbed ensemble advanced to the end; returns the
     stacked final states (main.py:98-106 analogue, vmapped not forked)."""

@@ -124,10 +124,31 @@ def packed_routing_params(cfg, params_np, ps):
     dp[has] = ps.inv_perm[tgt[has]]
     down_pos[np.flatnonzero(real)] = dp.astype(np.int32)
     out["kinp$down_pos"] = down_pos
+
+    def ups_gather(struct_pix):
+        """(n, 8) packed positions of each structure cell's immediate
+        upstream pixels (by the pre-cut downstruct) + 0/1 weights — lets
+        the sub-step loop compute structure inflow with an 8-wide gather
+        instead of a full-vector segment-sum (reference lakes.py:215 is
+        np.bincount(downstruct, ChanQ)[LakeIndex]; a lake has at most 8
+        LDD neighbours)."""
+        n = len(struct_pix)
+        idx = np.zeros((n, 8), np.int32)
+        w = np.zeros((n, 8), np.float64)
+        for i, pix in enumerate(np.asarray(struct_pix, np.int64)):
+            ups = np.flatnonzero(downstruct == pix)
+            assert ups.size <= 8, f"structure cell {pix} has {ups.size} upstreams"
+            pos = ps.inv_perm[ups]
+            idx[i, :pos.size] = pos
+            w[i, :pos.size] = 1.0
+        return idx, w
+
     if cfg.simulate_lakes and not cfg.init_lisflood:
         out["kinp$LakePos"] = ps.inv_perm[np.asarray(params_np["LakeIndex"], np.int64)].astype(np.int32)
+        out["kinp$LakeUpsIdx"], out["kinp$LakeUpsW"] = ups_gather(params_np["LakeIndex"])
     if cfg.simulate_reservoirs and not cfg.init_lisflood:
         out["kinp$ResPos"] = ps.inv_perm[np.asarray(params_np["ReservoirIndex"], np.int64)].astype(np.int32)
+        out["kinp$ResUpsIdx"], out["kinp$ResUpsW"] = ups_gather(params_np["ReservoirIndex"])
     return out
 
 

@@ -61,12 +61,11 @@ def surface_routing_step(cfg, p, s, d, routers):
     }
 
 
-def _lake_substep(cfg, p, carry, chan_q, lake_idx, down_idx, N):
+def _lake_substep(cfg, p, carry, inflow_cc, lake_idx, N, dtype):
     """Modified Puls lake routing (lakes.py:199-263). Operates in "routing
-    space": natural pixel space or schedule-packed position space, selected
-    by the index vectors the caller passes."""
+    space": natural pixel space or schedule-packed position space; the
+    caller supplies the lake inflow and index vectors for that space."""
     P = N
-    inflow_cc = scatter_to_downstream(chan_q, down_idx, P)[lake_idx]
     lake_in = (inflow_cc + carry["LakeInflowOldCC"]) * 0.5
     si = carry["LakeStorageM3CC"] / cfg.dt_routing - 0.5 * carry["LakeOutflowCC"] + lake_in
     outflow_cc = jnp.square(-p["LakeFactor"] + jnp.sqrt(p["LakeFactorSqr"] + 2 * si))
@@ -75,7 +74,7 @@ def _lake_substep(cfg, p, carry, chan_q, lake_idx, down_idx, N):
     storage = jnp.where(jnp.isnan(storage) | (storage < 0), 0.0, storage)
     balance = carry["LakeStorageM3BalanceCC"] + lake_in * cfg.dt_routing - q_out_m3
     level = storage / p["LakeAreaCC"]
-    q_lake_out = jnp.zeros(P, chan_q.dtype).at[lake_idx].set(q_out_m3)
+    q_lake_out = jnp.zeros(P, dtype).at[lake_idx].set(q_out_m3)
     updates = {
         "LakeInflowOldCC": inflow_cc,
         "LakeInflowCC": inflow_cc,
@@ -89,12 +88,11 @@ def _lake_substep(cfg, p, carry, chan_q, lake_idx, down_idx, N):
     return updates, q_lake_out
 
 
-def _reservoir_substep(cfg, p, carry, chan_q, res_idx, down_idx, N):
+def _reservoir_substep(cfg, p, carry, inflow_cc, res_idx, N, dtype):
     """Rule-curve reservoir operation (reservoir.py:173-303); routing-space
     generic like _lake_substep."""
     P = N
     inv_day = 1.0 / 86400.0
-    inflow_cc = scatter_to_downstream(chan_q, down_idx, P)[res_idx]
     q_in_m3 = inflow_cc * cfg.dt_routing
     storage = carry["ReservoirStorageM3CC"] + q_in_m3
     total = p["TotalReservoirStorageM3CC"]
@@ -121,7 +119,7 @@ def _reservoir_substep(cfg, p, carry, chan_q, res_idx, down_idx, N):
     storage = storage - q_out_m3
     fill = storage / total
     fill = jnp.where(jnp.isnan(fill) | (fill < 0), 0.0, fill)
-    q_res_out = jnp.zeros(P, chan_q.dtype).at[res_idx].set(q_out_m3)
+    q_res_out = jnp.zeros(P, dtype).at[res_idx].set(q_out_m3)
     updates = {
         "ReservoirStorageM3CC": storage,
         "ReservoirFillCC": fill,
@@ -197,6 +195,12 @@ def channel_routing(cfg, p, s, d, routers):
         })
     if cfg.simulate_lakes and not cfg.init_lisflood:
         lake_idx = pk("LakePos") if packed else p["LakeIndex"]
+        if packed:
+            # structure inflow = sum over its <=8 upstream neighbours — an
+            # 8-wide gather instead of a full-vector segment-sum per substep
+            lake_inflow = lambda q: (q[pk("LakeUpsIdx")] * pk("LakeUpsW")).sum(1)
+        else:
+            lake_inflow = lambda q: scatter_to_downstream(q, down_idx, N)[lake_idx]
         carry.update({
             "LakeStorageM3CC": s["LakeStorageM3CC"],
             "LakeInflowOldCC": s["LakeInflowOldCC"],
@@ -209,6 +213,10 @@ def channel_routing(cfg, p, s, d, routers):
         })
     if cfg.simulate_reservoirs and not cfg.init_lisflood:
         res_idx = pk("ResPos") if packed else p["ReservoirIndex"]
+        if packed:
+            res_inflow = lambda q: (q[pk("ResUpsIdx")] * pk("ResUpsW")).sum(1)
+        else:
+            res_inflow = lambda q: scatter_to_downstream(q, down_idx, N)[res_idx]
         carry.update({
             "ReservoirStorageM3CC": s["ReservoirStorageM3CC"],
             "ReservoirFillCC": s["ReservoirFillCC"],
@@ -234,10 +242,10 @@ def channel_routing(cfg, p, s, d, routers):
         sideflow_m3 = din["ToChanM3RunoffDt"]
 
         if cfg.simulate_lakes and not cfg.init_lisflood:
-            lake_updates, q_lake_out = _lake_substep(cfg, p, c, c["ChanQ"], lake_idx, down_idx, N)
+            lake_updates, q_lake_out = _lake_substep(cfg, p, c, lake_inflow(c["ChanQ"]), lake_idx, N, dtype)
             c.update(lake_updates)
         if cfg.simulate_reservoirs and not cfg.init_lisflood:
-            res_updates, q_res_out = _reservoir_substep(cfg, p, c, c["ChanQ"], res_idx, down_idx, N)
+            res_updates, q_res_out = _reservoir_substep(cfg, p, c, res_inflow(c["ChanQ"]), res_idx, N, dtype)
             c.update(res_updates)
         if cfg.inflow:
             q_in_dt = (din["QInM3OldLoop"] + (n + 1) * din["QDelta"]) / cfg.no_rout_steps

@@ -32,6 +32,49 @@ def shard_tree(mesh, tree, num_pixels):
             for k, v in tree.items()}
 
 
+def shard_runner_step(runner, mesh):
+    """Shard a real LisfloodRunner's step over a device mesh.
+
+    Every param/state/forcing array whose trailing axis is the pixel axis
+    is sharded over the 1-D "pixels" mesh axis (uneven trailing shard
+    allowed — GSPMD pads); everything else is replicated. Returns
+    (step, state) where `step(state, forcing)` runs the full jitted model
+    step with those shardings; the routing sweeps' cross-shard
+    gathers/scatters lower to XLA collectives.
+
+    The correctness property this must satisfy is the analogue of the
+    reference's mask-independence test (tests/test_subcatchments.py:32-118):
+    sharded == unsharded state, gated by tests/test_sharding.py.
+
+    The pixel axis (P) is generally NOT divisible by the mesh size, so the
+    shardings are applied with `with_sharding_constraint` inside jit (GSPMD
+    pads uneven trailing shards transparently) rather than `device_put`.
+    """
+    P = runner.config.num_pixels
+
+    def constrain(tree):
+        out = {}
+        for k, v in tree.items():
+            arr = jnp.asarray(v) if not isinstance(v, (int, float)) else v
+            if getattr(arr, "ndim", 0) >= 1 and arr.shape[-1] == P:
+                spec = [None] * (arr.ndim - 1) + ["pixels"]
+                arr = jax.lax.with_sharding_constraint(
+                    arr, NamedSharding(mesh, PartitionSpec(*spec)))
+            out[k] = arr
+        return out
+
+    def sharded_impl(pa, s, f):
+        return runner.step_fn.impl(constrain(pa), constrain(s), constrain(f))
+
+    jitted = jax.jit(sharded_impl)
+    pa = runner.step_fn.params_arrays
+
+    def step(s, f):
+        return jitted(pa, s, f)
+
+    return step, dict(runner.state)
+
+
 def build_sharded_model_step(mesh, nrows=16, ncols=16, dtype=jnp.float32, **synth_kwargs):
     """Full model step (synthetic catchment) jitted over the mesh with the
     pixel axis sharded. Returns (step, state, forcing)."""
