@@ -27,10 +27,18 @@ def run_dates(settings):
 
 
 class ForcingReader:
-    """Reads one forcing stack; `reader[step_offset]` -> (P,) array."""
+    """Reads one forcing stack; `reader[step_offset]` -> (P,) array.
+
+    Memory is bounded: decoded (P,) vectors are kept in an LRU cache of at
+    most `cache_steps` entries (the reference bounds memory with dask time
+    chunks, netcdf.py:170-232; at EFAS scale an unbounded per-step cache
+    would be an OOM by design). A single background thread prefetches the
+    next `prefetch` indices after each access so the host read/decode of
+    step t+1 overlaps the device compute of step t."""
 
     def __init__(self, path, grid, dates, indexer=None, climatology=False,
-                 skip_valid_replace=False, dtype=np.float64):
+                 skip_valid_replace=False, dtype=np.float64,
+                 cache_steps=64, prefetch=8):
         self.grid = grid
         self.dtype = dtype
         self.nc = NcFile(path)
@@ -62,35 +70,102 @@ class ForcingReader:
                 self.valid_min = float(np.asarray(attrs["valid_min"]).ravel()[0]) * scale + offset
             if "valid_max" in attrs:
                 self.valid_max = float(np.asarray(attrs["valid_max"]).ravel()[0]) * scale + offset
-        self._cache = {}
+        from collections import OrderedDict
+        import threading
+        self._cache = OrderedDict()          # idx -> (P,) vector, LRU-bounded
+        self._cache_steps = int(cache_steps)
+        self._prefetch_n = int(prefetch)
+        self._lock = threading.Lock()
+        self._prefetch_queue = []
+        self._prefetch_wakeup = threading.Condition(self._lock)
+        self._closed = False
+        self._worker = None
+
+    def _decode(self, idx):
+        """Read + decode one time slice (no caching)."""
+        data = np.asarray(self.nc._f[self.varname][idx], dtype=np.float64)
+        if self.fill is not None and not np.isnan(self.fill):
+            data = np.where(data == self.fill, np.nan, data)
+        if self.flip_y:
+            data = np.flipud(data)
+        if self.flip_x:
+            data = np.fliplr(data)
+        c0, c1, c2, c3 = self.cut
+        data = data[c2:c3, c0:c1]
+        if self.valid_min is not None:
+            data = np.where(data < self.valid_min, np.nan, data)
+        if self.valid_max is not None:
+            data = np.where(data > self.valid_max, np.nan, data)
+        vec = self.grid.compress(data).astype(self.dtype)
+        if np.isnan(vec).any():
+            raise LisfloodError(
+                f'Data in var "{self.varname}" contains NaN values or values '
+                f"out of valid range inside mask map for index {idx}")
+        return vec
+
+    def _cache_put(self, idx, vec):
+        self._cache[idx] = vec
+        self._cache.move_to_end(idx)
+        while len(self._cache) > self._cache_steps:
+            self._cache.popitem(last=False)
 
     def _load_index(self, idx):
-        if idx not in self._cache:
-            data = np.asarray(self.nc._f[self.varname][idx], dtype=np.float64)
-            if self.fill is not None and not np.isnan(self.fill):
-                data = np.where(data == self.fill, np.nan, data)
-            if self.flip_y:
-                data = np.flipud(data)
-            if self.flip_x:
-                data = np.fliplr(data)
-            c0, c1, c2, c3 = self.cut
-            data = data[c2:c3, c0:c1]
-            if self.valid_min is not None:
-                data = np.where(data < self.valid_min, np.nan, data)
-            if self.valid_max is not None:
-                data = np.where(data > self.valid_max, np.nan, data)
-            vec = self.grid.compress(data).astype(self.dtype)
-            if np.isnan(vec).any():
-                raise LisfloodError(
-                    f'Data in var "{self.varname}" contains NaN values or values '
-                    f"out of valid range inside mask map for index {idx}")
-            self._cache[idx] = vec
-        return self._cache[idx]
+        with self._lock:
+            if idx in self._cache:
+                self._cache.move_to_end(idx)
+                return self._cache[idx]
+        vec = self._decode(idx)
+        with self._lock:
+            self._cache_put(idx, vec)
+        return vec
+
+    def _prefetch_loop(self):
+        while True:
+            with self._lock:
+                while not self._prefetch_queue and not self._closed:
+                    self._prefetch_wakeup.wait()
+                if self._closed:
+                    return
+                idx = self._prefetch_queue.pop(0)
+                if idx in self._cache:
+                    continue
+            try:
+                vec = self._decode(idx)
+            except Exception:
+                continue   # surfaced on the synchronous path if really needed
+            with self._lock:
+                self._cache_put(idx, vec)
+
+    def _schedule_prefetch(self, step_offset):
+        if self._prefetch_n <= 0:
+            return
+        import threading
+        want = []
+        n = len(self.index_map)
+        with self._lock:
+            for k in range(1, self._prefetch_n + 1):
+                if step_offset + k >= n:
+                    break
+                idx = self.index_map[step_offset + k]
+                if idx not in self._cache and idx not in self._prefetch_queue:
+                    want.append(idx)
+            if want:
+                self._prefetch_queue.extend(want)
+                if self._worker is None:
+                    self._worker = threading.Thread(
+                        target=self._prefetch_loop, daemon=True)
+                    self._worker.start()
+                self._prefetch_wakeup.notify()
 
     def __getitem__(self, step_offset):
-        return self._load_index(self.index_map[step_offset])
+        vec = self._load_index(self.index_map[step_offset])
+        self._schedule_prefetch(step_offset)
+        return vec
 
     def close(self):
+        with self._lock:
+            self._closed = True
+            self._prefetch_wakeup.notify()
         self.nc.close()
 
 
@@ -121,6 +196,14 @@ def _map_dates_index(dates, file_dates, indexer, climatology):
             if pos == 0:
                 raise LisfloodError(f"No forcing data at or before {d}")
             out.append(key_index[sorted_keys[pos - 1]])
+        elif indexer == "closest":
+            # nearest file date (reference timestampflag='closest',
+            # add1.py:459-470 takeClosest) — yearly land-use stacks etc.
+            import bisect
+            pos = bisect.bisect_left(sorted_keys, d)
+            cands = [sorted_keys[i] for i in (pos - 1, pos) if 0 <= i < len(sorted_keys)]
+            best = min(cands, key=lambda k: abs((k - d).total_seconds()))
+            out.append(key_index[best])
         else:
             raise LisfloodError(f"Date {d} not found in forcing file")
     return out

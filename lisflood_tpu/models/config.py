@@ -25,6 +25,7 @@ class ModelConfig:
     water_use: bool = False
     water_use_region: bool = False
     transient_water_demand: bool = False
+    transient_landuse: bool = False
     water_demand_ave_year: bool = False
     drained_irrigation: bool = False
     groundwater_smooth: bool = False
@@ -86,6 +87,7 @@ class ModelConfig:
             water_use=bool(o.get("wateruse")),
             water_use_region=bool(o.get("wateruseRegion")),
             transient_water_demand=bool(o.get("TransientWaterDemandChange")),
+            transient_landuse=bool(o.get("TransientLandUseChange")),
             water_demand_ave_year=bool(o.get("useWaterDemandAveYear")),
             drained_irrigation=bool(o.get("drainedIrrigation")),
             groundwater_smooth=bool(o.get("groundwaterSmooth")),

@@ -419,6 +419,16 @@ class LisfloodRunner:
                     climatology=self.config.water_demand_ave_year,
                     skip_valid_replace=skip_val)
 
+        self.landuse_stacks = {}
+        if self.config.transient_landuse:
+            # yearly land-use fraction stacks, nearest-date indexed
+            # (landusechange.py:94-148)
+            for key in ("ForestFraction", "DirectRunoffFraction", "WaterFraction",
+                        "IrrigationFraction", "RiceFraction", "OtherFraction"):
+                self.landuse_stacks[key] = ForcingReader(
+                    binding[key + "Maps"], self.grid, dates, indexer="closest",
+                    skip_valid_replace=skip_val)
+
         self.outputs = OutputManager(settings, self.grid, params_np, aux, self.config)
         self.cal_day_start = aux["CalendarDayStart"]
         self.lai_lookup = aux["lai_day_to_interval"]
@@ -460,6 +470,12 @@ class LisfloodRunner:
                     if np.isfinite(val) and val < 1e30:
                         qin[pts == pid] = val
             f["QInM3"] = jnp.asarray(qin * self.config.dt_sec, dt)
+        if self.config.transient_landuse:
+            n = len(self.dates)
+            for key, reader in self.landuse_stacks.items():
+                f[key + "_t"] = jnp.asarray(reader[offset], dt)
+                if self.config.rep_mbts:
+                    f[key + "_nt"] = jnp.asarray(reader[min(offset + 1, n - 1)], dt)
         if self.config.water_use:
             dt_day = self.config.dt_day
             if self.config.transient_water_demand:

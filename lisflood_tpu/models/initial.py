@@ -103,12 +103,34 @@ def build_model(settings, dtype=np.float64):
     params["lat_rad"] = np.radians(lat_deg)
 
     # ---------------- land use fractions (landusechange.py:53-92) ---------
-    forest_frac = _field(loader.load("ForestFraction", timestampflag="closest"), P)
-    direct_frac = _field(loader.load("DirectRunoffFraction", timestampflag="closest"), P)
-    water_frac = _field(loader.load("WaterFraction", timestampflag="closest"), P)
-    irrig_frac = _field(loader.load("IrrigationFraction", timestampflag="closest"), P)
-    rice_frac = _field(loader.load("RiceFraction", timestampflag="closest"), P)
-    other_frac = _field(loader.load("OtherFraction", timestampflag="closest"), P)
+    if option.get("TransientLandUseChange"):
+        # initial fractions come from the yearly stacks at the first model
+        # step (landusechange.py:70-78); they are re-read every step by the
+        # driver and override these inside the jitted step
+        from ..io.forcing import ForcingReader, run_dates
+        first_date = run_dates(settings)[0]
+
+        def _stack_first(map_key):
+            r = ForcingReader(binding[map_key], grid, [first_date],
+                              indexer="closest", prefetch=0)
+            try:
+                return r[0]
+            finally:
+                r.close()
+
+        forest_frac = _stack_first("ForestFractionMaps")
+        direct_frac = _stack_first("DirectRunoffFractionMaps")
+        water_frac = _stack_first("WaterFractionMaps")
+        irrig_frac = _stack_first("IrrigationFractionMaps")
+        rice_frac = _stack_first("RiceFractionMaps")
+        other_frac = _stack_first("OtherFractionMaps")
+    else:
+        forest_frac = _field(loader.load("ForestFraction", timestampflag="closest"), P)
+        direct_frac = _field(loader.load("DirectRunoffFraction", timestampflag="closest"), P)
+        water_frac = _field(loader.load("WaterFraction", timestampflag="closest"), P)
+        irrig_frac = _field(loader.load("IrrigationFraction", timestampflag="closest"), P)
+        rice_frac = _field(loader.load("RiceFraction", timestampflag="closest"), P)
+        other_frac = _field(loader.load("OtherFraction", timestampflag="closest"), P)
     soil_fraction = np.stack([other_frac, forest_frac, irrig_frac])
     # rice treated as part of the Rainfed soil fraction (soil.py:92-93)
     soil_fraction[0] = soil_fraction[0] + rice_frac
@@ -206,6 +228,10 @@ def build_model(settings, dtype=np.float64):
     params["GenuInvM1a"], params["GenuInvM1b"], params["GenuInvM2"] = 1 / m1a, 1 / m1b, 1 / m2
     params["GenuInvN1a"], params["GenuInvN1b"], params["GenuInvN2"] = 1 / n1a, 1 / n1b, 1 / n2
     params["GenuInvAlpha1a"], params["GenuInvAlpha1b"], params["GenuInvAlpha2"] = 1 / alpha1a, 1 / alpha1b, 1 / alpha2
+    if option.get("simulatePF"):
+        # pF diagnostics cap (soil.py:466; used by suctionUnsaturatedSoilPF,
+        # soilloop.py:673-704)
+        params["HeadMax"] = float(np.asarray(loader.load("HeadMax")).ravel()[0])
 
     ws1a, ws1b, ws2 = thetas1a * sd1a, thetas1b * sd1b, thetas2 * sd2
     wres1a, wres1b, wres2 = thetar1a * sd1a, thetar1b * sd1b, thetar2 * sd2
@@ -512,6 +538,27 @@ def build_model(settings, dtype=np.float64):
             res_storage_ini_m3[res_index] = res_storage_ini
             params["ReservoirStorageIniM3"] = res_storage_ini_m3
             state["ReservoirStorageM3"] = res_storage_ini_m3.copy()
+
+    # polders (polder.py:43-70): initial() parity — sites restricted to the
+    # channel network, storage from the area lookup table; the reference's
+    # dynamic parts are a no-op skeleton, so storage is carried unchanged
+    # and PolderLevel is a pure diagnostic
+    if option.get("simulatePolders") and not option["InitLisflood"]:
+        # sparse nominal map: undefined cells are simply "no polder", like
+        # pcraster.defined(PolderSites) in the reference
+        polder_sites = grid.compress(loader.load_2d("PolderSites"))
+        polder_sites = np.where(
+            np.isnan(polder_sites) | ~params["IsChannel"].astype(bool), 0, polder_sites
+        ).astype(np.int64)
+        polder_area = np.zeros(P)
+        on = polder_sites > 0
+        if on.any():
+            polder_area[on] = lookup_scalar(binding["TabPolderArea"], polder_sites[on])
+        polder_level0 = float(binding.get("PolderInitialLevelValue", 0.0))
+        params["PolderArea"] = polder_area
+        params["IsPolder"] = on
+        params["PolderStorageIniM3"] = np.where(on, polder_level0 * polder_area, 0.0)
+        state["PolderStorageM3"] = params["PolderStorageIniM3"].copy()
 
     # structure pit-cutting (structures.py:43-61)
     params["IsStructureKinematic"] = is_structure

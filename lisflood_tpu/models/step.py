@@ -53,6 +53,8 @@ def state_keys(cfg):
         keys += ["TransCum"]
     if cfg.inflow:
         keys += ["QInM3Old"]
+    if cfg.simulate_polders and not cfg.init_lisflood:
+        keys += ["PolderStorageM3"]
     if cfg.rep_mbts:
         keys += ["WaterInit", "DischargeM3StructuresIni", "StorageStepINIT"]
     if cfg.indicator and cfg.water_use:
@@ -183,6 +185,18 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
         d = dict(f)  # diagnostics namespace, seeded with forcing
         d["TimeSinceStart"] = s["TimeSinceStart"] + 1.0
 
+        # transient land-use change (landusechange.py:94-148): per-step
+        # fraction stacks arrive as forcing and override the init-time
+        # parameter entries for everything downstream in this step
+        if cfg.transient_landuse:
+            for k in ("ForestFraction", "DirectRunoffFraction", "WaterFraction",
+                      "IrrigationFraction", "RiceFraction", "OtherFraction"):
+                p[k] = f[k + "_t"]
+            p["SoilFraction"] = jnp.stack([
+                p["OtherFraction"] + p["RiceFraction"],
+                p["ForestFraction"], p["IrrigationFraction"]])
+            p["PermeableFraction"] = 1 - p["DirectRunoffFraction"] - p["WaterFraction"]
+
         # meteo scaling (readmeteo.py:44-81)
         d["Precipitation"] = f["Precipitation"] * cfg.dt_day * p["PrScaling"]
         tavg = f["Tavg"]
@@ -217,6 +231,9 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
         soil_in = dict(s)
         soil_in["W1a"], soil_in["W1b"] = d["W1a"], d["W1b"]
         d.update(ph.soil_columns_step(cfg, p, soil_in, d))
+        # optional pF soil-suction diagnostics (soilloop.py:673-704)
+        if cfg.simulate_pf:
+            d.update(ph.pf_step(cfg, p, d))
         # open water and sealed surfaces
         d.update(ph.opensealed_step(cfg, p, s, d))
         # rice irrigation + water abstraction
@@ -262,6 +279,12 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
         # water level diagnostic
         if cfg.simulate_water_levels:
             d.update(ph.waterlevel_step(cfg, p, s, d))
+
+        # polder level diagnostic — the reference's dynamic polder parts are
+        # a no-op skeleton (polder.py:72-177), so storage passes through
+        if cfg.simulate_polders and not cfg.init_lisflood:
+            d["PolderLevel"] = jnp.where(
+                p["IsPolder"], s["PolderStorageM3"] / jnp.maximum(p["PolderArea"], 1e-30), 0.0)
 
         # total water storage / mass balance (waterbalance.py:114-288)
         if cfg.rep_total_water_storage or cfg.rep_mbts:
@@ -385,5 +408,26 @@ def _waterbalance(cfg, p, s, d, catchtotal):
         out["MB_HillslopeStored"] = catchtotal(hillslope_stored)
         out["MBError"] = mb_error
         out["MBErrorMM"] = 1000.0 * mb_error / p["CatchArea"]
-        out["WaterInit"] = water_stored + dis_structures
+        if cfg.transient_landuse:
+            # next step starts from the NEXT land-use fractions, so WaterInit
+            # must be the hillslope storage re-priced with them
+            # (waterbalance.py:186-271 when DynamicLandCoverDelta > 0; with no
+            # change next == current, so this is always safe)
+            p_next = dict(p)
+            p_next["SoilFraction"] = jnp.stack([
+                d["OtherFraction_nt"] + d["RiceFraction_nt"],
+                d["ForestFraction_nt"], d["IrrigationFraction_nt"]])
+            d_next = dict(d)
+            d_next["DirectRunoffFraction"] = d["DirectRunoffFraction_nt"]
+            hillslope_next = _storage_hillslope(cfg, p_next, s, d_next)
+            water_stored_next = catchtotal(channel_stored) + catchtotal(hillslope_next)
+            out["WaterInit"] = water_stored_next + dis_structures
+        else:
+            out["WaterInit"] = water_stored + dis_structures
+        # mass-balance analysis diagnostics (waterbalance.py:276-289)
+        sum_fracs = (p["ForestFraction"] + p["DirectRunoffFraction"] + p["WaterFraction"]
+                     + p["IrrigationFraction"] + p["OtherFraction"])
+        npix = catchtotal(jnp.ones_like(sum_fracs))
+        out["AverageFractions"] = catchtotal(sum_fracs) / npix
+        out["MBErrorStorage"] = mb_error / out["WaterInit"]
     return out

@@ -749,3 +749,33 @@ def waterlevel_step(cfg, p, s, d):
     floodplain_depth = floodplain_csa / p["FloodPlainWidth"]
     level = chan_depth + floodplain_depth
     return {"WaterLevel": jnp.where(p["IsChannelKinematic"], level, 0)}
+
+
+# ---------------------------------------------------------------------------
+# pF soil-suction diagnostics (soilloop.py:673-704, simulatePF option)
+
+
+def pf_step(cfg, p, d):
+    """Capillary pressure head per soil layer from van Genuchten inversion;
+    pF = log10(head[cm]), -1 where the head is zero. Vegetation index maps
+    1:1 onto landuse index for the three prescribed fractions, so the
+    (3, P) soil parameter arrays broadcast directly against the (3, P)
+    moisture states (reference index_landuse_all, soilloop.py:684-687)."""
+
+    def pf(w, psnz, wres, ws, inv_alpha, inv_m, inv_n):
+        sat = jnp.where(psnz, jnp.clip((w - wres) / (ws - wres), 0.0, 1.0), 0.0)
+        head_raw = inv_alpha * jnp.power(
+            jnp.power(1.0 / jnp.maximum(sat, 1e-30), inv_m) - 1.0,
+            inv_n)
+        head = jnp.where(sat == 0, p["HeadMax"],
+                         jnp.minimum(p["HeadMax"], head_raw))
+        return jnp.where(head > 0, jnp.log10(jnp.maximum(head, 1e-30)), -1.0)
+
+    return {
+        "pF0": pf(d["W1a"], p["PoreSpaceNotZero1a"], p["WRes1a"], p["WS1a"],
+                  p["GenuInvAlpha1a"], p["GenuInvM1a"], p["GenuInvN1a"]),
+        "pF1": pf(d["W1b"], p["PoreSpaceNotZero1b"], p["WRes1b"], p["WS1b"],
+                  p["GenuInvAlpha1b"], p["GenuInvM1b"], p["GenuInvN1b"]),
+        "pF2": pf(d["W2"], p["PoreSpaceNotZero2"], p["WRes2"], p["WS2"],
+                  p["GenuInvAlpha2"], p["GenuInvM2"], p["GenuInvN2"]),
+    }

@@ -65,3 +65,52 @@ def test_oracle_dis_readable(etrs89_case):
         dates = nc.time_dates()
         assert len(dates) == 183
         assert dates[0].year == 2016
+
+
+def test_forcing_reader_bounded_cache_and_prefetch(etrs89_case):
+    """The decoded-step cache is LRU-bounded and prefetch fills it ahead of
+    the cursor (reference bounds memory via dask time chunks,
+    netcdf.py:170-232)."""
+    import datetime
+    import time
+    from lisflood_tpu.io.forcing import ForcingReader
+    s = load_settings(os.path.join(etrs89_case, "settings", "base.xml"),
+                      vars_to_set={"CalendarDayStart": "01/01/1900 00:00",
+                                   "StepStart": "02/01/1951 06:00",
+                                   "StepEnd": "31/01/1951 00:00",
+                                   "DtSec": "21600",
+                                   "PathMeteo": "$(PathRoot)/meteo_1950"})
+    grid = build_grid(s.binding["MaskMap"])
+    from lisflood_tpu.io.forcing import run_dates
+    dates = run_dates(s)
+    r = ForcingReader(s.binding["PrecipitationMaps"], grid, dates,
+                      cache_steps=4, prefetch=2)
+    try:
+        seq = [r[i] for i in range(10)]
+        assert all(v.shape == (grid.num_pixels,) for v in seq)
+        assert len(r._cache) <= 4
+        # re-read: values identical (cache eviction must not corrupt)
+        again = r[3]
+        np.testing.assert_array_equal(again, seq[3])
+        # prefetch eventually populates the next index without a get
+        deadline = time.time() + 5.0
+        want_idx = r.index_map[11]
+        while time.time() < deadline and want_idx not in r._cache:
+            time.sleep(0.02)
+        assert want_idx in r._cache, "prefetch thread never filled step 11"
+    finally:
+        r.close()
+
+
+def test_forcing_reader_closest_indexer(tmp_path, etrs89_case):
+    """'closest' date indexing picks the nearest stack entry with earlier
+    wins on ties (reference takeClosest, add1.py:544-560)."""
+    import datetime
+    from lisflood_tpu.io.forcing import _map_dates_index
+    f0 = datetime.datetime(1951, 1, 1)
+    f1 = datetime.datetime(1951, 1, 5)
+    dates = [datetime.datetime(1951, 1, 2, 6) + datetime.timedelta(hours=6 * i)
+             for i in range(10)]
+    idx = _map_dates_index(dates, [f0, f1], "closest", False)
+    # midpoint Jan 3 00:00 ties -> earlier slice
+    assert idx == [0, 0, 0, 0, 1, 1, 1, 1, 1, 1]
