@@ -396,8 +396,13 @@ class LisfloodRunner:
             dtype = jnp.float32 if prec in ("single", "float32", "f32") else jnp.float64
         self.dtype = dtype
         self.step_fn, self.params = build_step(self.config, params_np, aux, dtype=dtype)
+        # keep exactly the step function's state contract: build_model may
+        # emit extra entries (e.g. split-routing state during an InitLisflood
+        # prerun) that would break the lax.scan carry structure
+        from .step import state_keys
+        allowed = set(state_keys(self.config))
         self.state = {k: jnp.asarray(v, dtype if np.asarray(v).dtype.kind == "f" else None)
-                      for k, v in state_np.items()}
+                      for k, v in state_np.items() if k in allowed}
         binding = settings.binding
 
         dates = run_dates(settings)

@@ -65,7 +65,52 @@ def synth_meteo():
     write("e0.nc", "e0", e0)
 
 
+def prerun(n_steps=None):
+    """InitLisflood prerun (prerun_lat_lon.xml, 1986-2018 daily): produces
+    avgdis.map / lzavin.map and compares them against the committed
+    reference maps (reference tests/test_latlon.py prerun chain). The
+    precipitation forcing is the real tp.nc; ta/e0 are synthesized, so the
+    gate is a few-percent envelope, not the exact TSSComparator."""
+    synth_meteo()
+    out_dir = "/tmp/latlon_prerun"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    from lisflood_tpu.config import load_settings
+    from lisflood_tpu.models.driver import LisfloodRunner
+    from lisflood_tpu.io import csf
+
+    settings = load_settings(
+        os.path.join(CASE, "prerun_lat_lon.xml"),
+        vars_to_set={"PathMeteo": METEO_DIR, "PathOut": out_dir},
+    )
+    runner = LisfloodRunner(settings)
+    runner.run_scanned(chunk_steps=64, progress=True, max_steps=n_steps)
+
+    ok = True
+    stats = {}
+    for name in ("avgdis", "lzavin"):
+        ours_path = os.path.join(out_dir, name + ".map")
+        if not os.path.exists(ours_path):
+            print(f"MISSING {name}.map; outputs: {sorted(os.listdir(out_dir))}")
+            ok = False
+            continue
+        ours = csf.read_map(ours_path).data
+        ref = csf.read_map(os.path.join(CASE, "reference", name + ".map")).data
+        m = np.isfinite(ref) & np.isfinite(ours)
+        denom = np.maximum(np.abs(ref[m]), np.abs(ref[m]).mean() * 1e-3)
+        rel = np.abs(ours[m] - ref[m]) / denom
+        stats[name] = rel
+        print(f"{name}: n={m.sum()} max_rel={rel.max():.4f} "
+              f"mean_rel={rel.mean():.4f} p95={np.percentile(rel, 95):.4f}")
+    print("PRERUN", "PASS" if ok else "FAIL")
+    return stats if ok else None
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "prerun":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else None
+        return 0 if prerun(n) is not None else 1
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 31
     synth_meteo()
     out_dir = "/tmp/latlon_out"
