@@ -166,6 +166,12 @@ class ForcingReader:
         with self._lock:
             self._closed = True
             self._prefetch_wakeup.notify()
+            worker = self._worker
+        # join the prefetch thread before closing the HDF5 file so no
+        # in-flight _decode races the close (it exits promptly: _closed is
+        # re-checked under the lock before every read)
+        if worker is not None:
+            worker.join(timeout=5.0)
         self.nc.close()
 
 
@@ -197,13 +203,14 @@ def _map_dates_index(dates, file_dates, indexer, climatology):
                 raise LisfloodError(f"No forcing data at or before {d}")
             out.append(key_index[sorted_keys[pos - 1]])
         elif indexer == "closest":
-            # nearest file date (reference timestampflag='closest',
-            # add1.py:459-470 takeClosest) — yearly land-use stacks etc.
+            # closest LEFT file date (reference timestampflag='closest',
+            # add1.py:544-565 takeClosest: the nearest-after branch is
+            # commented out) — yearly land-use stacks switch only when the
+            # model date reaches the stack date, clamped to the first entry
+            # for dates before the stack starts.
             import bisect
-            pos = bisect.bisect_left(sorted_keys, d)
-            cands = [sorted_keys[i] for i in (pos - 1, pos) if 0 <= i < len(sorted_keys)]
-            best = min(cands, key=lambda k: abs((k - d).total_seconds()))
-            out.append(key_index[best])
+            pos = bisect.bisect_right(sorted_keys, d)
+            out.append(key_index[sorted_keys[max(pos - 1, 0)]])
         else:
             raise LisfloodError(f"Date {d} not found in forcing file")
     return out

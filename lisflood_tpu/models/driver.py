@@ -446,6 +446,17 @@ class LisfloodRunner:
             row_of = {int(st): i for i, st in enumerate(steps)}
             self._inflow = (pts, col_of, row_of, data)
 
+    def close(self):
+        """Close all forcing/demand/land-use readers (joins their prefetch
+        threads) and flush outputs."""
+        for readers in (self.forcings, self.demand, self.landuse_stacks):
+            for r in readers.values():
+                try:
+                    r.close()
+                except Exception:
+                    pass
+        self.outputs.close()
+
     def forcing_for(self, offset, date):
         import jax.numpy as jnp
         cal_day = int(date.strftime("%j"))
@@ -529,7 +540,7 @@ class LisfloodRunner:
         if progress:
             print()
         self.state = state
-        self.outputs.close()
+        self.close()
         return state
 
     def run(self, progress=False, max_steps=None):
@@ -556,7 +567,7 @@ class LisfloodRunner:
                 print(f"\r{step} - {date:%d/%m/%Y %H:%M}", end="", flush=True)
         if progress:
             print()
-        self.outputs.close()
+        self.close()
         return self.state
 
 

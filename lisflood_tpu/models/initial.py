@@ -823,6 +823,8 @@ def _waterbalance_init(config, params, state, aux, option):
         channel_init += params["LakeStorageIniM3"]
     if option["simulateReservoirs"] and config.num_reservoirs:
         channel_init += params["ReservoirStorageIniM3"]
+    if option["simulatePolders"] and "PolderStorageIniM3" in params:
+        channel_init += params["PolderStorageIniM3"]   # waterbalance.py:65-66
     hill1 = (params["SoilFraction"] * (state["CumInterception"] + state["W1a"] + state["W1b"] + state["W2"] + state["UZ"])).sum(0)
     hill1 += state["LZ"]
     overland = state["OFM3Other"] + state["OFM3Forest"] + state["OFM3Direct"]

@@ -361,6 +361,8 @@ def _storage_channel(cfg, p, s, d):
         stored = stored + d["LakeStorageM3Balance"]
     if cfg.simulate_reservoirs:
         stored = stored + d["ReservoirStorageM3"]
+    if cfg.simulate_polders and not cfg.init_lisflood:
+        stored = stored + d.get("PolderStorageM3", s["PolderStorageM3"])
     return stored
 
 
@@ -424,9 +426,16 @@ def _waterbalance(cfg, p, s, d, catchtotal):
             out["WaterInit"] = water_stored_next + dis_structures
         else:
             out["WaterInit"] = water_stored + dis_structures
-        # mass-balance analysis diagnostics (waterbalance.py:276-289)
-        sum_fracs = (p["ForestFraction"] + p["DirectRunoffFraction"] + p["WaterFraction"]
-                     + p["IrrigationFraction"] + p["OtherFraction"])
+        # mass-balance analysis diagnostics (waterbalance.py:276-289); with
+        # transient land use the reference evaluates these AFTER reassigning
+        # the fractions to the next-step values (waterbalance.py:186-199)
+        if cfg.transient_landuse:
+            sum_fracs = (d["ForestFraction_nt"] + d["DirectRunoffFraction_nt"]
+                         + d["WaterFraction_nt"] + d["IrrigationFraction_nt"]
+                         + d["OtherFraction_nt"])
+        else:
+            sum_fracs = (p["ForestFraction"] + p["DirectRunoffFraction"] + p["WaterFraction"]
+                         + p["IrrigationFraction"] + p["OtherFraction"])
         npix = catchtotal(jnp.ones_like(sum_fracs))
         out["AverageFractions"] = catchtotal(sum_fracs) / npix
         out["MBErrorStorage"] = mb_error / out["WaterInit"]

@@ -103,14 +103,17 @@ def test_forcing_reader_bounded_cache_and_prefetch(etrs89_case):
 
 
 def test_forcing_reader_closest_indexer(tmp_path, etrs89_case):
-    """'closest' date indexing picks the nearest stack entry with earlier
-    wins on ties (reference takeClosest, add1.py:544-560)."""
+    """'closest' date indexing is a clamped floor lookup (closest LEFT),
+    matching reference takeClosest (add1.py:544-565) whose nearest-after
+    branch is commented out: a stack only takes effect once the model date
+    reaches it; dates before the first stack entry clamp to it."""
     import datetime
     from lisflood_tpu.io.forcing import _map_dates_index
     f0 = datetime.datetime(1951, 1, 1)
     f1 = datetime.datetime(1951, 1, 5)
-    dates = [datetime.datetime(1951, 1, 2, 6) + datetime.timedelta(hours=6 * i)
-             for i in range(10)]
+    dates = ([datetime.datetime(1950, 12, 31)]    # before stack -> clamp to first
+             + [datetime.datetime(1951, 1, 2, 6) + datetime.timedelta(hours=18 * i)
+                for i in range(5)])               # Jan2 06:00 .. Jan5 06:00
     idx = _map_dates_index(dates, [f0, f1], "closest", False)
-    # midpoint Jan 3 00:00 ties -> earlier slice
-    assert idx == [0, 0, 0, 0, 1, 1, 1, 1, 1, 1]
+    # floor semantics: past the midpoint (Jan 3) still slice 0; Jan 5+ -> 1
+    assert idx == [0, 0, 0, 0, 0, 1]

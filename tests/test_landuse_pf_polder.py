@@ -130,7 +130,7 @@ def test_transient_landuse(tmp_path):
                        vars_extra=vars_extra)
     state = r.state
     forests = []
-    for i in range(10):
+    for i in range(14):
         f = r.forcing_for(i, r.dates[i])
         state, diag = r.step_fn(state, f)
         forests.append(np.asarray(f["ForestFraction_t"]).mean())
@@ -143,7 +143,8 @@ def test_transient_landuse(tmp_path):
         rel = mb.max() / np.asarray(diag["WaterInit"]).max()
         assert rel < 1e-8, f"step {i}: MBError {mb.max()} (rel {rel})"
     forests = np.array(forests)
-    # 'closest' indexing: steps before Jan 3 12:00 use slice 0, later slice 1
+    # 'closest' (closest-LEFT floor) indexing: steps before Jan 5 00:00 use
+    # slice 0, Jan 5 onwards slice 1 (reference takeClosest, add1.py:544-565)
     assert forests.max() > forests.min() + 0.04, "fractions never switched"
     assert forests[0] == forests[1] and forests[-1] == forests[-2]
 
