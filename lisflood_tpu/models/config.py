@@ -38,6 +38,7 @@ class ModelConfig:
     rep_mbts: bool = False
     rep_average_dis: bool = False
     rep_total_water_storage: bool = False
+    rep_water_use: bool = False
     # kinematic-wave implementation: 'packed' (scatter-free windowed sweep,
     # default) or 'scan' (gather/scatter reference path)
     routing_kernel: str = "packed"
@@ -100,6 +101,7 @@ class ModelConfig:
             rep_mbts=bool(o.get("repMBTs")),
             rep_average_dis=bool(o.get("repAverageDis")),
             rep_total_water_storage=bool(o.get("repTotalWaterStorageMaps")),
+            rep_water_use=bool(o.get("repWaterUse")),
             routing_kernel=str(settings.binding.get("RoutingKernel", "packed")),
             no_rout_steps=no_rout,
             dt_sec=dt_sec,

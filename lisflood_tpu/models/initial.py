@@ -721,6 +721,10 @@ def build_model(settings, dtype=np.float64):
             params["WaterRegionInflowPoints"] = graph_chan.upstream_sum((pit_wuse != 0).astype(float)) > 0
         else:
             params["downWRegion"] = params["downstruct"].copy()
+            # the reference leaves WaterRegionInflowPoints undefined without
+            # wateruseRegion (and indicatorcalc would crash there too); a
+            # no-inflow-points default keeps indicator runs well-defined
+            params["WaterRegionInflowPoints"] = np.zeros(P, dtype=bool)
 
         gw_region_pixels = np.bincount(wuse_region, weights=gw_bodies, minlength=num_wregions)[wuse_region]
         all_region_pixels = np.bincount(wuse_region, weights=np.ones(P), minlength=num_wregions)[wuse_region]
@@ -750,9 +754,11 @@ def build_model(settings, dtype=np.float64):
         params["LandUseMask"] = _field(loader.load("LandUseMask"), P)
         params["RegionPopulation"] = np.bincount(
             params["WUseRegionC"], weights=params["Population"], minlength=num_wregions)[params["WUseRegionC"]]
+        from types import SimpleNamespace
         from ..ops.indicators import indicator_state_zero
         import jax.numpy as _jnp
-        for k, v in indicator_state_zero(None, P, _jnp.float64).items():
+        icfg = SimpleNamespace(rep_water_use=bool(option.get("repWaterUse")))
+        for k, v in indicator_state_zero(icfg, P, _jnp.float64).items():
             state[k] = np.asarray(v)
 
     # inflow hydrographs (inflow.py:49-96)

@@ -58,8 +58,8 @@ def state_keys(cfg):
     if cfg.rep_mbts:
         keys += ["WaterInit", "DischargeM3StructuresIni", "StorageStepINIT"]
     if cfg.indicator and cfg.water_use:
-        from ..ops.indicators import INDICATOR_KEYS
-        keys += list(INDICATOR_KEYS)
+        from ..ops.indicators import indicator_keys
+        keys += list(indicator_keys(cfg))
     return keys
 
 
@@ -292,7 +292,7 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
 
         # water-security indicators (indicatorcalc.py:80-235)
         if cfg.indicator and cfg.water_use:
-            from ..ops.indicators import INDICATOR_KEYS, indicator_step, indicator_state_zero
+            from ..ops.indicators import indicator_keys, indicator_step, indicator_state_zero
             from ..graph.ldd import FlowGraph  # noqa: F401 (doc reference)
             month_dis = s["MonthDisM3"] + d["ChanQAvg"] * cfg.dt_sec
             d["UpstreamSumMonthDis"] = ph.scatter_to_downstream(
@@ -301,7 +301,7 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
             # reset monthly accumulators at month end (Lisflood_dynamic:266-268)
             zeros = indicator_state_zero(cfg, cfg.num_pixels, d["Rain"].dtype)
             monthend = f["MonthEnd"]
-            for k in INDICATOR_KEYS:
+            for k in indicator_keys(cfg):
                 d[k] = jnp.where(monthend, zeros[k], d[k])
 
         new_state = _collect_state(cfg, s, d)

@@ -609,6 +609,20 @@ def water_abstraction_step(cfg, p, s, d):
         "abstraction_SwGw_actual_irrigation_M3": abst_swgw_act_irr,
         "abstraction_Reuse_irrigation_M3": abst_reuse_irr,
     })
+    if cfg.rep_water_use:
+        # per-sector per-step terms feeding the monthly accounting
+        # (waterabstraction.py:631-646); accumulation happens in
+        # ops/indicators.indicator_step
+        out.update({
+            "consumption_required_domestic_MM": cons_sw_dom + cons_gw_dom,
+            "consumption_required_energy_MM": cons_req_ene,
+            "consumption_required_industry_MM": cons_sw_ind + cons_gw_ind,
+            "consumption_required_livestock_MM": cons_sw_liv + cons_gw_liv,
+            "consumption_SwGw_required_irrigation_MM": cons_gw_req_irr_mm + cons_sw_req_irr_mm,
+            "consumption_actual_irrigation_MM": cons_act_irr_mm,
+            "abstraction_required_irrigation_M3": abst_req_irr,
+            "abstraction_SwGw_required_irrigation_M3": abst_swgw_req_irr,
+        })
     return out
 
 

@@ -91,3 +91,49 @@ def test_subcatchment_mask_independence(tmp_path):
         a_win = a2d[..., r0:r0 + sub_grid.nrows, c0:c0 + sub_grid.ncols]
         sel = ~np.isnan(b2d)
         np.testing.assert_allclose(b2d[sel], a_win[sel], rtol=1e-9, atol=1e-10, err_msg=key)
+
+
+@pytest.mark.slow
+def test_subcatchment_groundwater_smooth_breaks_equality(tmp_path):
+    """groundwaterSmooth is mask-DEPENDENT: its windowtotal sees different
+    neighbourhoods near the mask edge, so a subcatchment run must NOT
+    reproduce the full run (the reference asserts exactly this,
+    test_subcatchments.py:55-62)."""
+    full_out = tmp_path / "full"
+    sub_out = tmp_path / "sub"
+    full_out.mkdir()
+    sub_out.mkdir()
+    opts_on = ("wateruse", "TransientWaterDemandChange", "useWaterDemandAveYear",
+               "wateruseRegion", "groundwaterSmooth")
+    opts_off = ("SplitRouting", "simulateLakes", "simulateReservoirs",
+                "openwaterevapo", "drainedIrrigation")
+
+    def runner(out, extra=None):
+        import warnings
+        from lisflood_tpu.models.driver import LisfloodRunner
+        v = dict(BASE_VARS)
+        v["PathOut"] = str(out)
+        v.update(extra or {})
+        s = load_settings(os.path.join(CASE, "settings", "base.xml"),
+                          opts_to_set=opts_on,
+                          opts_to_unset=("riceIrrigation",) + opts_off,
+                          vars_to_set=v)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return LisfloodRunner(s)
+
+    r_full = runner(full_out)
+    state_full = r_full.run(max_steps=10)
+    sub_mask = os.path.join(CASE, "maps", "subcatchment_mask.map")
+    r_sub = runner(sub_out, {"MaskMap": sub_mask})
+    state_sub = r_sub.run(max_steps=10)
+
+    full_grid, sub_grid = r_full.grid, r_sub.grid
+    r0 = int(round((full_grid.north - sub_grid.north) / full_grid.cell))
+    c0 = int(round((sub_grid.west - full_grid.west) / full_grid.cell))
+    a2d = full_grid.decompress(np.asarray(state_full["LZ"]))
+    b2d = sub_grid.decompress(np.asarray(state_sub["LZ"]))
+    a_win = a2d[r0:r0 + sub_grid.nrows, c0:c0 + sub_grid.ncols]
+    sel = ~np.isnan(b2d)
+    assert not np.allclose(b2d[sel], a_win[sel], rtol=1e-9, atol=1e-10), \
+        "groundwaterSmooth should break subcatchment equality (it is mask-dependent)"
