@@ -76,8 +76,15 @@ class CsfMap:
 
 
 def read_map(path) -> CsfMap:
-    with open(path, "rb") as f:
-        raw = f.read()
+    # bounded-retry read for flaky network filesystems
+    # (reference iterReadPCRasterMap, zusatz.py:413-415)
+    from ..utils.retry import remote_input_access
+
+    def _read(p):
+        with open(p, "rb") as f:
+            return f.read()
+
+    raw = remote_input_access(_read, path)
     if raw[:27] != SIGNATURE[:27]:
         raise ValueError(f"{path} is not a PCRaster CSF map")
     value_scale, cell_repr = struct.unpack_from("<HH", raw, 64)

@@ -34,15 +34,68 @@ def _normalize_xy(data, x, y):
 
 
 def _take_closest_left(sorted_vals, number):
-    """Closest value with bisect, preferring the left/smaller one
-    (reference add1.py:544-565)."""
+    """Closest LEFT value (clamped floor lookup): the reference's
+    takeClosest (add1.py:544-565) always returns the element at pos-1 —
+    its nearest-after branch is commented out — clamped to the ends."""
     pos = bisect_left(sorted_vals, number)
     if pos == 0:
         return sorted_vals[0]
     if pos == len(sorted_vals):
         return sorted_vals[-1]
-    before, after = sorted_vals[pos - 1], sorted_vals[pos]
-    return after if after - number < number - before else before
+    return sorted_vals[pos - 1]
+
+
+class MapsCache:
+    """Cross-run static-map cache (reference decorators.py:50-117 `Cache`
+    + add1.py:322-336 loadmap_cached): keyed by resolved file path and
+    stack-selection arguments, surviving across LisfloodRunner instances
+    so calibration loops re-reading the same static maps hit memory
+    instead of disk. Enabled by the `MapsCaching` binding (textvar)."""
+
+    cache = {}
+    found = {}
+
+    @classmethod
+    def get(cls, key):
+        hit = cls.cache.get(key)
+        if hit is not None:
+            cls.found[key] = cls.found.get(key, 0) + 1
+        return hit
+
+    @classmethod
+    def put(cls, key, value):
+        cls.cache[key] = value
+
+    @classmethod
+    def clear(cls):
+        cls.cache.clear()
+        cls.found.clear()
+
+    @classmethod
+    def size(cls):
+        return len(cls.cache)
+
+    @classmethod
+    def values_found(cls):
+        return sum(cls.found.values())
+
+    @classmethod
+    def extract(cls):
+        import copy
+        return copy.deepcopy(cls.cache)
+
+    @classmethod
+    def apply(cls, cache_in):
+        for k, v in cache_in.items():
+            cls.cache[k] = v
+
+    @classmethod
+    def info(cls):
+        print("Caching")
+        print(f"Number of items cached: {cls.size()}")
+        print(f"Number of items retrieved: {cls.values_found()}")
+        for key in cls.cache:
+            print(f"   - {key}")
 
 
 class MapLoader:
@@ -114,6 +167,23 @@ class MapLoader:
 
     # ------------------------------------------------------------------
     def _read_2d_typed(self, name, value, timestampflag, averageyearflag):
+        # MapsCaching is a binding (textvar), not an option — the
+        # reference tests set it via vars_to_set (netcdf.py:333,403)
+        if str(self.binding.get("MapsCaching", "False")) == "True":
+            key = (value, timestampflag, averageyearflag,
+                   str(getattr(self.settings, "timestep_init", None)),
+                   self.grid.nrows, self.grid.ncols)
+            hit = MapsCache.get(key)
+            if hit is not None:
+                data, from_int = hit
+                return data.copy(), from_int
+            data, from_int = self._read_2d_typed_uncached(
+                name, value, timestampflag, averageyearflag)
+            MapsCache.put(key, (data.copy(), from_int))
+            return data, from_int
+        return self._read_2d_typed_uncached(name, value, timestampflag, averageyearflag)
+
+    def _read_2d_typed_uncached(self, name, value, timestampflag, averageyearflag):
         if value.endswith(".map") and os.path.exists(value):
             m = csf.read_map(value)
             if (m.nrows, m.ncols) != (self.grid.nrows, self.grid.ncols):

@@ -34,9 +34,13 @@ class NcFile:
     def __init__(self, path):
         if not str(path).endswith(".nc"):
             path = str(path) + ".nc"
+        # bounded-retry open for flaky network filesystems
+        # (reference iterOpenNetcdf, zusatz.py:407-410)
+        from ..utils.retry import remote_input_access
         try:
-            self._f = h5py.File(path, "r")
-        except (OSError, FileNotFoundError) as e:
+            self._f = remote_input_access(
+                lambda p: h5py.File(p, "r"), path)
+        except (IOError, OSError) as e:
             raise LisfloodFileError(path, str(e))
         self.path = path
 

@@ -40,8 +40,13 @@ class ModelConfig:
     rep_total_water_storage: bool = False
     rep_water_use: bool = False
     # kinematic-wave implementation: 'packed' (scatter-free windowed sweep,
-    # default) or 'scan' (gather/scatter reference path)
+    # default), 'sharded' (subcatchment-partitioned packed sweep with
+    # explicit cut-edge exchange, for device meshes), or 'scan'
+    # (gather/scatter reference path)
     routing_kernel: str = "packed"
+    # logical shard count for routing_kernel='sharded' (fixed independent
+    # of the device count so results are bit-identical across meshes)
+    num_shards: int = 1
     # discretisation
     no_rout_steps: int = 24
     dt_sec: float = 86400.0
@@ -103,6 +108,9 @@ class ModelConfig:
             rep_total_water_storage=bool(o.get("repTotalWaterStorageMaps")),
             rep_water_use=bool(o.get("repWaterUse")),
             routing_kernel=str(settings.binding.get("RoutingKernel", "packed")),
+            num_shards=int(settings.binding.get("RoutingShards", 4)
+                           if str(settings.binding.get("RoutingKernel", "packed")) == "sharded"
+                           else 1),
             no_rout_steps=no_rout,
             dt_sec=dt_sec,
         )

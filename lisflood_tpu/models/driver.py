@@ -237,7 +237,11 @@ class PCRasterStackWriter:
 
     def write_step(self, date, vec, step=None):
         data2d = self.grid.decompress(np.asarray(vec, dtype=np.float64))
-        path = self.path + ".map" if self.single else self._numbered(step)
+        if self.single:
+            # bindings like '.../avgdis.map' already carry the extension
+            path = self.path if self.path.endswith(".map") else self.path + ".map"
+        else:
+            path = self._numbered(step)
         write_map(path, data2d.astype(np.float32), self.grid.west, self.grid.north,
                   self.grid.cell, VS_SCALAR)
 
@@ -543,13 +547,52 @@ class LisfloodRunner:
         self.close()
         return state
 
+    def _debug_dump(self, fname, chan_m3, chan2_m3=None, cross2_area=None):
+        """-d debug: per-pixel channel state text dump (reference
+        Lisflood_initial.py:239-250 / Lisflood_dynamic.py:252-262),
+        including the reference's range(nelements-1) quirk."""
+        inv_dx = 1.0 / np.asarray(self.params_np["ChanLength"], np.float64)
+        chan_m3 = np.asarray(chan_m3, np.float64)
+        tcsa = chan_m3 * inv_dx
+        with open(fname, "w") as f:
+            if chan2_m3 is not None and cross2_area is not None:
+                c2 = np.asarray(cross2_area, np.float64)
+                m2 = np.asarray(chan2_m3, np.float64)
+                for i in range(chan_m3.size - 1):
+                    print(i, tcsa[i], c2[i], chan_m3[i], m2[i], file=f)
+            else:
+                for i in range(chan_m3.size - 1):
+                    print(i, tcsa[i], chan_m3[i], file=f)
+
+    def _loud_dis(self, diag):
+        """First-gauge average discharge for the -l per-step line
+        (reference output.py:557-563 firstout of DisTS)."""
+        pair = self.outputs.tss_samplers.get("DisTS")
+        if pair is None:
+            return None
+        sampler, _ = pair
+        try:
+            return float(sampler.sample(np.asarray(diag["ChanQAvg"]))[0])
+        except Exception:
+            return None
+
     def run(self, progress=False, max_steps=None):
         settings = self.settings
+        flags = settings.flags
+        loud = flags.get("loud")
+        debug = flags.get("debug")
         start = settings.step_start_int
         end = settings.step_end_int
         n = end - start + 1
         if max_steps is not None:
             n = min(n, max_steps)
+        if debug:
+            split = "CrossSection2Area" in self.state
+            self._debug_dump(
+                os.path.join(settings.output_dir, f"Debug_init_{start}.txt"),
+                self.state["ChanM3Kin"],
+                self.state.get("Chan2M3Kin") if split else None,
+                self.state.get("CrossSection2Area") if split else None)
         for offset in range(n):
             step = start + offset
             date = self.dates[offset]
@@ -563,9 +606,22 @@ class LisfloodRunner:
                 monthend = nxt.month != date.month
                 yearend = nxt.year != date.year
             self.outputs.report(step, date, diag, monthend, yearend, is_last=(step == end))
-            if progress:
+            if loud:
+                dis = self._loud_dis(diag)
+                line = "%-6i %20s" % (step, date.strftime("%d/%m/%Y %H:%M"))
+                if dis is not None:
+                    line += " %10.2f" % dis
+                print(line, flush=True)
+            elif progress:
                 print(f"\r{step} - {date:%d/%m/%Y %H:%M}", end="", flush=True)
-        if progress:
+            if debug:
+                split = "Chan2M3Kin" in self.state
+                self._debug_dump(
+                    os.path.join(settings.output_dir, f"Debug_out_{step}.txt"),
+                    np.asarray(diag.get("ChanM3", self.state["ChanM3Kin"])),
+                    self.state.get("Chan2M3Kin") if split else None,
+                    self.state.get("CrossSection2Area") if split else None)
+        if progress and not loud:
             print()
         self.close()
         return self.state
@@ -598,7 +654,14 @@ def lisfloodexe(settings):
         print("initonly flag activated... Stopping now before entering time loop.")
         return runner
 
-    if settings.ens_members > 1:
+    # MonteCarlo/EnKF wrap is gated on the OPTIONS, not on EnsMembers —
+    # templates carry EnsMembers=2 by default and the reference still runs
+    # deterministically unless MonteCarlo/EnKF is switched on
+    # (settings.py:404-410, main.py:98-115)
+    init = settings.options.get("InitLisflood")
+    mc_set = bool(settings.options.get("MonteCarlo")) and not init
+    enkf_set = bool(settings.options.get("EnKF")) and not init
+    if (mc_set or enkf_set) and settings.ens_members > 1:
         from .ensemble import run_from_settings
         run_from_settings(runner, settings)
     else:

@@ -74,6 +74,16 @@ def build_routers(cfg, aux):
     elif cfg.routing_kernel == "scan":
         from ..ops.kinwave import ScanRouter
         make = ScanRouter
+    elif cfg.routing_kernel == "sharded":
+        # subcatchment-partitioned sweep with explicit cut-edge exchange
+        from ..ops.kinwave_sharded import ShardedRouter
+        from ..parallel.partition import catchment_partition
+        shard_of, stats = catchment_partition(aux["graph_kin"], cfg.num_shards)
+        # the overland (to-channel) graph shares the pixel space; reuse the
+        # same partition so both sweeps shard identically
+        return {"kin": ShardedRouter(aux["graph_kin"], shard_of),
+                "tochan": ShardedRouter(aux["graph_tochan"], shard_of),
+                "shard_of": shard_of, "partition_stats": stats}
     else:
         raise ValueError(f"unknown routing_kernel {cfg.routing_kernel!r}")
     return {"kin": make(aux["schedule_kin"]), "tochan": make(aux["schedule_tochan"])}

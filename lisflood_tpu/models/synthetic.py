@@ -312,12 +312,14 @@ def build_synthetic_model(nrows=16, ncols=16, seed=0, no_rout_steps=4,
         grid_rows=nrows,
         grid_cols=ncols,
     )
+    graph_tochan = FlowGraph(downstream=np.full(P, -1, np.int32),
+                             ldd=np.full(P, 5, np.int8), num_pixels=P)
     aux = {
         "schedule_kin": build_schedule(graph_kin, chunk_size),
-        "schedule_tochan": build_schedule(
-            FlowGraph(downstream=np.full(P, -1, np.int32), ldd=np.full(P, 5, np.int8),
-                      num_pixels=P), chunk_size),
+        "schedule_tochan": build_schedule(graph_tochan, chunk_size),
         "graph": graph,
+        "graph_kin": graph_kin,
+        "graph_tochan": graph_tochan,
     }
     return config, params, state, aux
 

@@ -75,12 +75,17 @@ def shard_runner_step(runner, mesh):
     return step, dict(runner.state)
 
 
-def build_sharded_model_step(mesh, nrows=16, ncols=16, dtype=jnp.float32, **synth_kwargs):
+def build_sharded_model_step(mesh, nrows=16, ncols=16, dtype=jnp.float32,
+                             routing_kernel=None, num_shards=None, **synth_kwargs):
     """Full model step (synthetic catchment) jitted over the mesh with the
     pixel axis sharded. Returns (step, state, forcing)."""
+    import dataclasses
     from ..models.synthetic import build_synthetic_model, synthetic_forcing
 
     cfg, params, state, aux = build_synthetic_model(nrows, ncols, **synth_kwargs)
+    if routing_kernel:
+        cfg = dataclasses.replace(cfg, routing_kernel=routing_kernel,
+                                  num_shards=num_shards or len(mesh.devices.flat))
     step_fn, p = build_step(cfg, params, aux, dtype=dtype)
     P = cfg.num_pixels
     state_sharded = shard_tree(mesh, state, P)

@@ -80,12 +80,23 @@ def prerun(n_steps=None):
     from lisflood_tpu.models.driver import LisfloodRunner
     from lisflood_tpu.io import csf
 
+    import datetime
+    v = {"PathMeteo": METEO_DIR, "PathOut": out_dir}
+    if n_steps:
+        # end maps are written at the configured StepEnd, so a reduced
+        # prerun shortens the date range instead of truncating the loop
+        start = datetime.datetime(1986, 1, 2)
+        v["StepEnd"] = (start + datetime.timedelta(days=n_steps - 1)).strftime(
+            "%d/%m/%Y %H:%M")
     settings = load_settings(
         os.path.join(CASE, "prerun_lat_lon.xml"),
-        vars_to_set={"PathMeteo": METEO_DIR, "PathOut": out_dir},
+        # PCRaster-format outputs: the committed oracle maps and the cold
+        # run's AvgDis/LZAvInflowMap consumers are CSF avgdis.map/lzavin.map
+        opts_to_unset=("writeNetcdf", "writeNetcdfStack"),
+        vars_to_set=v,
     )
     runner = LisfloodRunner(settings)
-    runner.run_scanned(chunk_steps=64, progress=True, max_steps=n_steps)
+    runner.run_scanned(chunk_steps=64, progress=True)
 
     ok = True
     stats = {}
@@ -108,10 +119,33 @@ def prerun(n_steps=None):
 
 
 def main():
+    if os.environ.get("LATLON_CPU"):
+        # pin the CPU backend (the env var alone is ignored when a TPU
+        # plugin is registered — see tests/conftest.py)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), ".cache_jax"))
     if len(sys.argv) > 1 and sys.argv[1] == "prerun":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else None
         return 0 if prerun(n) is not None else 1
+    if len(sys.argv) > 1 and sys.argv[1] == "chain":
+        # reduced prerun -> cold run consuming OUR OWN prerun outputs
+        # (reference tests/test_latlon.py:13-53 prerun -> cold chain)
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 3650
+        stats = prerun(n)
+        if stats is None:
+            print("CHAIN FAIL (prerun)")
+            return 1
+        rc = cold_run(path_init="/tmp/latlon_prerun", tag="CHAIN")
+        return rc
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 31
+    return cold_run(n_steps=n_steps)
+
+
+def cold_run(n_steps=31, path_init=None, tag="LATLON"):
     synth_meteo()
     out_dir = "/tmp/latlon_out"
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -120,9 +154,13 @@ def main():
     from lisflood_tpu.config import load_settings
     from lisflood_tpu.models.driver import LisfloodRunner
 
+    extra = {}
+    if path_init:
+        extra["PathInit"] = path_init
     settings = load_settings(
         os.path.join(CASE, "run_lat_lon.xml"),
         vars_to_set={
+            **extra,
             "StepStart": "01/01/2016 00:00",
             "StepEnd": "01/02/2016 00:00",
             "PathMeteo": METEO_DIR,
@@ -149,10 +187,20 @@ def main():
         print(f"dis_run.tss: {arr.shape[0]} steps x {arr.shape[1]} gauges, "
               f"min={arr.min():.4f} max={arr.max():.4f} mean={arr.mean():.4f}")
         ok &= np.isfinite(arr).all() and (arr >= 0).all() and arr.max() > 0
+        ref_tss = os.path.join(CASE, "reference", "dis_short.tss")
+        if os.path.exists(ref_tss):
+            with open(ref_tss) as f:
+                rl = f.readlines()
+            rn = int(rl[1].strip())
+            ref = np.array([[float(x) for x in l.split()[1:]]
+                            for l in rl[2 + rn:] if l.split()])[: arr.shape[0], 0]
+            rel = np.abs(arr[:, 0] - ref) / np.abs(ref)
+            print(f"vs dis_short.tss: first_rel={rel[0]:.4f} max_rel={rel.max():.4f} "
+                  f"corr={np.corrcoef(arr[:, 0], ref)[0, 1]:.4f}")
     else:
         print("MISSING dis_run.tss")
         ok = False
-    print("LATLON", "PASS" if ok else "FAIL")
+    print(tag, "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
 

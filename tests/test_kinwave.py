@@ -199,3 +199,55 @@ def test_mass_is_transported_downstream(env):
     Q = np.asarray(router.routing(np.zeros(P), qlat))
     assert Q[head] > 0
     assert Q[down] > 0
+
+
+@pytest.mark.slow
+def test_sharded_router_matches_serial_oracle(env):
+    """The subcatchment-sharded sweep (explicit cut-edge exchange) against
+    the serial Newton oracle, at several shard counts — the single-catchment
+    ETRS89 graph forces subtree splitting, so the cut-edge path is
+    genuinely exercised (S=2 -> 1 cut edge, S=8 -> ~56)."""
+    from lisflood_tpu.ops.kinwave_sharded import ShardedRouter
+    from lisflood_tpu.parallel.partition import catchment_partition
+
+    s, grid, loader, graph = env
+    P = graph.num_pixels
+    rng = np.random.default_rng(7)
+    beta = 0.6
+    dx = np.full(P, 5000.0)
+    a_dx_div_dt = rng.uniform(0.5, 5.0, P) * dx / 3600.0
+    Q0 = rng.uniform(0.0, 50.0, P)
+    qlat = rng.uniform(0.0, 1e-4, P)
+    expected = serial_oracle(graph, Q0, qlat * dx, a_dx_div_dt, beta)
+
+    for n_shards in (2, 4, 8):
+        shard_of, stats = catchment_partition(graph, n_shards)
+        sizes = stats["shard_sizes"]
+        assert sizes.max() <= np.ceil(P / n_shards) * 1.10 + 1, sizes
+        router = ShardedRouter(graph, shard_of, chunk_size=128)
+        if n_shards > 1:
+            assert router.has_cuts     # single catchment must be split
+        got = np.asarray(router.route(Q0, qlat * dx, a_dx_div_dt, beta))
+        np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-12,
+                                   err_msg=f"S={n_shards}")
+
+
+def test_sharded_equals_packed_router(env):
+    """Sharded vs packed kernels on the real graph (batched form). The only
+    numerical difference is upstream-summation grouping (ulp-level)."""
+    from lisflood_tpu.ops.kinwave_packed import PackedRouter
+    from lisflood_tpu.ops.kinwave_sharded import ShardedRouter
+    from lisflood_tpu.parallel.partition import catchment_partition
+
+    s, grid, loader, graph = env
+    P = graph.num_pixels
+    rng = np.random.default_rng(3)
+    beta = 0.6
+    L = 3
+    q0 = rng.uniform(0, 100, (L, P))
+    lat = rng.uniform(0, 5, (L, P))
+    adx = rng.uniform(1e-3, 1e3, (L, P))
+    a = np.asarray(PackedRouter(build_schedule(graph)).route_batched(q0, lat, adx, beta))
+    shard_of, _ = catchment_partition(graph, 4)
+    b = np.asarray(ShardedRouter(graph, shard_of).route_batched(q0, lat, adx, beta))
+    np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-11)

@@ -88,7 +88,7 @@ def test_routing_kernels_equivalent_full_model(tmp_path):
     opts_on = ("SplitRouting", "simulateLakes", "simulateReservoirs",
                "openwaterevapo", "drainedIrrigation", "repMBTs", "TransLoss")
     states = {}
-    for kernel in ("packed", "scan"):
+    for kernel in ("packed", "scan", "sharded"):
         v = dict(BASE_VARS)
         v["PathOut"] = str(tmp_path / kernel)
         (tmp_path / kernel).mkdir()
@@ -97,9 +97,13 @@ def test_routing_kernels_equivalent_full_model(tmp_path):
                           opts_to_unset=("wateruse", "riceIrrigation", "groundwaterSmooth"),
                           vars_to_set=v)
         s.binding["RoutingKernel"] = kernel
+        if kernel == "sharded":
+            s.binding["RoutingShards"] = "4"
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             r = LisfloodRunner(s)
+        if kernel == "sharded":
+            assert r.config.num_shards == 4
         state = r.state
         for i in range(3):
             f = r.forcing_for(i, r.dates[i])
@@ -110,6 +114,12 @@ def test_routing_kernels_equivalent_full_model(tmp_path):
         a = np.asarray(states["scan"][key])
         b = np.asarray(states["packed"][key])
         np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12, err_msg=key)
+    # sharded differs from packed only in upstream-summation grouping
+    # (ulp-level per sweep; amplified slightly over 3x24 substeps)
+    for key in states["packed"]:
+        a = np.asarray(states["packed"][key])
+        b = np.asarray(states["sharded"][key])
+        np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-9, err_msg=key)
 
 
 @pytest.mark.slow
@@ -189,6 +199,106 @@ def test_warmstart_roundtrip(tmp_path):
     cold_state = r_cold.state
     for key in ("W1a", "W1b", "W2", "UZ", "LZ", "SnowCoverS", "FrostIndex",
                 "ChanQKin", "ChanM3Kin", "DSLR", "CumInterception"):
+        a = np.asarray(cold_state[key])
+        b = np.asarray(warm_state[key])
+        np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-9, err_msg=key)
+
+
+@pytest.mark.slow
+def test_warmstart_full_options_exact(tmp_path):
+    """Full-option warm-start exactness (reference tests/test_warmstart.py:
+    34-154 gates TSS array_equal over the full option set): cold 8-step run
+    with SplitRouting + lakes + reservoirs + TransLoss + openwaterevapo ==
+    4-step run + warm restart, on the reported dis.tss rows (array_equal on
+    the parsed values, the reference's TSSComparator gate) and on all
+    prognostic state including the split-routing extra state
+    (CrossSection2Area / Sideflow1Chan, routing.py:391-397)."""
+    from lisflood_tpu.io.tss import read_tss
+    from lisflood_tpu.config.calendar import step_to_date, parse_date_or_step, date_to_step
+
+    out_cold = tmp_path / "cold"
+    out_half = tmp_path / "half"
+    out_warm = tmp_path / "warm"
+    for p in (out_cold, out_half, out_warm):
+        p.mkdir()
+
+    opts_on = ("repStateMaps", "repDischargeTs", "SplitRouting", "simulateLakes",
+               "simulateReservoirs", "openwaterevapo", "TransLoss", "drainedIrrigation")
+    ref = parse_date_or_step(BASE_VARS["CalendarDayStart"])
+    start_int, _ = date_to_step(BASE_VARS["StepStart"], BASE_VARS["CalendarDayStart"], 21600)
+    fmt = lambda d: d.strftime("%d/%m/%Y %H:%M")
+    d4 = step_to_date(start_int + 3, ref, 21600)
+    d5 = step_to_date(start_int + 4, ref, 21600)
+    d8 = step_to_date(start_int + 7, ref, 21600)
+
+    r_cold, _ = make_runner(out_cold, opts_on=opts_on, opts_off=(),
+                            vars_extra={"StepEnd": fmt(d8)})
+    r_cold.run()
+    r_half, _ = make_runner(out_half, opts_on=opts_on, opts_off=(),
+                            vars_extra={"StepEnd": fmt(d4)})
+    r_half.run()
+
+    state_bindings = {
+        "OFDirectInitValue": str(out_half / "ofdir"),
+        "OFOtherInitValue": str(out_half / "ofoth"),
+        "OFForestInitValue": str(out_half / "offor"),
+        "SnowCoverAInitValue": str(out_half / "scova"),
+        "SnowCoverBInitValue": str(out_half / "scovb"),
+        "SnowCoverCInitValue": str(out_half / "scovc"),
+        "FrostIndexInitValue": str(out_half / "frost"),
+        "CumIntInitValue": str(out_half / "cum"),
+        "CumIntForestInitValue": str(out_half / "cumf"),
+        "CumIntIrrigationInitValue": str(out_half / "cumi"),
+        "CumIntSealedInitValue": str(out_half / "cseal"),
+        "UZInitValue": str(out_half / "uz"),
+        "UZForestInitValue": str(out_half / "uzf"),
+        "UZIrrigationInitValue": str(out_half / "uzi"),
+        "DSLRInitValue": str(out_half / "dslr"),
+        "DSLRForestInitValue": str(out_half / "dslf"),
+        "DSLRIrrigationInitValue": str(out_half / "dsli"),
+        "LZInitValue": str(out_half / "lz"),
+        "ThetaInit1Value": str(out_half / "tha"),
+        "ThetaInit2Value": str(out_half / "thb"),
+        "ThetaInit3Value": str(out_half / "thc"),
+        "ThetaForestInit1Value": str(out_half / "thfa"),
+        "ThetaForestInit2Value": str(out_half / "thfb"),
+        "ThetaForestInit3Value": str(out_half / "thfc"),
+        "ThetaIrrigationInit1Value": str(out_half / "thia"),
+        "ThetaIrrigationInit2Value": str(out_half / "thib"),
+        "ThetaIrrigationInit3Value": str(out_half / "thic"),
+        "TotalCrossSectionAreaInitValue": str(out_half / "chcro"),
+        "PrevDischarge": str(out_half / "chanq"),
+        # split-routing extra state (routing.py:391-397)
+        "CrossSection2AreaInitValue": str(out_half / "ch2cr"),
+        "PrevSideflowInitValue": str(out_half / "chside"),
+        # structures state
+        "LakeInitialLevelValue": str(out_half / "lakeh"),
+        "LakePrevInflowValue": str(out_half / "lakeprevinq"),
+        "LakePrevOutflowValue": str(out_half / "lakeprevoutq"),
+        "ReservoirInitialFillValue": str(out_half / "rsfil"),
+        "timestepInit": fmt(d4),
+    }
+    r_warm, _ = make_runner(out_warm, opts_on=opts_on, opts_off=(),
+                            vars_extra={"StepStart": fmt(d5), "StepEnd": fmt(d8),
+                                        **state_bindings})
+    warm_state = r_warm.run()
+    cold_state = r_cold.state
+
+    # dis.tss: warm rows must equal the cold run's same-step rows exactly
+    # at the reported precision (the reference's array_equal TSS gate)
+    _, cold_rows, cold_steps = read_tss(os.path.join(out_cold, "dis.tss"))
+    _, warm_rows, warm_steps = read_tss(os.path.join(out_warm, "dis.tss"))
+    sel = np.isin(cold_steps, warm_steps)
+    assert sel.sum() == len(warm_steps) == 4
+    np.testing.assert_array_equal(warm_rows, cold_rows[sel])
+
+    for key in ("W1a", "W1b", "W2", "UZ", "LZ", "SnowCoverS", "FrostIndex",
+                "ChanQKin", "ChanM3Kin", "ChanQ", "DSLR", "CumInterception",
+                "CumInterSealed", "Chan2QKin", "Chan2M3Kin",
+                "CrossSection2Area", "Sideflow1Chan",
+                "LakeStorageM3CC", "LakeInflowOldCC", "LakeOutflowCC",
+                "ReservoirStorageM3CC", "ReservoirFillCC",
+                "OFM3Direct", "OFM3Other", "OFM3Forest"):
         a = np.asarray(cold_state[key])
         b = np.asarray(warm_state[key])
         np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-9, err_msg=key)

@@ -152,7 +152,7 @@ def test_ensemble_from_settings(tmp_path):
     (reference main.py:98-115)."""
     from lisflood_tpu.models.driver import lisfloodexe
 
-    s = make_settings(tmp_path, sys_args=("-v",))
+    s = make_settings(tmp_path, opts_on=("MonteCarlo", "EnKF"), sys_args=("-v",))
     s.ens_members = 3
     s.filter_steps = [s.step_start_int + 2]
     with warnings.catch_warnings():
@@ -160,3 +160,34 @@ def test_ensemble_from_settings(tmp_path):
         lisfloodexe(s)
     dumps = os.listdir(os.path.join(tmp_path, "stateVar"))
     assert len(dumps) == 3   # one npz per member at the filter step
+
+
+def test_loud_and_debug_flags(tmp_path, capsys):
+    """-l prints one 'step date discharge' line per step
+    (Lisflood_dynamic.py:58-67 + output.py:557-563) and -d dumps the
+    per-pixel channel state text files (Lisflood_initial.py:239-250,
+    Lisflood_dynamic.py:252-262)."""
+    from lisflood_tpu.models.driver import lisfloodexe
+
+    s = make_settings(tmp_path, opts_on=("repDischargeTs",), sys_args=("-l", "-d"))
+    assert s.flags["loud"] and s.flags["debug"]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        runner = lisfloodexe(s)
+    out = capsys.readouterr().out
+    start, end = s.step_start_int, s.step_end_int
+    for step in range(start, end + 1):
+        assert any(line.startswith("%-6i" % step) for line in out.splitlines()), \
+            f"no loud line for step {step}"
+    # a loud line carries the first-gauge discharge column
+    line = next(l for l in out.splitlines() if l.startswith("%-6i" % start))
+    assert len(line.split()) >= 3 and float(line.split()[-1]) >= 0
+    # debug dumps: init + one per step, with pixel rows
+    assert os.path.exists(tmp_path / f"Debug_init_{start}.txt")
+    for step in range(start, end + 1):
+        p = tmp_path / f"Debug_out_{step}.txt"
+        assert p.exists(), f"missing {p}"
+    rows = open(tmp_path / f"Debug_out_{start}.txt").read().splitlines()
+    ncols = len(rows[0].split())
+    assert ncols in (3, 5)   # i, TCSA, [C2A,] ChanM3 [, Chan2M3]
+    assert len(rows) == runner.grid.num_pixels - 1   # reference's range(n-1) quirk
