@@ -67,15 +67,18 @@ def bench_etrs89(n_steps=20):
     return runner.config.num_pixels * n_steps / elapsed, elapsed / n_steps
 
 
-def bench_continental(nrows=1200, ncols=1000, n_steps=5):
+def bench_continental(nrows=1200, ncols=1000, n_steps=5, chunk_size=512):
     import numpy as np
     import jax
     import jax.numpy as jnp
     from lisflood_tpu.models.synthetic import build_synthetic_model, synthetic_forcing
     from lisflood_tpu.models.step import build_step
 
+    # chunk_size=512 measured fastest on the real chip (scripts/_chunkexp):
+    # the one-hot scatter matmul cost grows linearly in C while the scan
+    # iteration overhead floors below C~512
     cfg, params, state, aux = build_synthetic_model(
-        nrows=nrows, ncols=ncols, no_rout_steps=24, chunk_size=1024)
+        nrows=nrows, ncols=ncols, no_rout_steps=24, chunk_size=chunk_size)
     step, _ = build_step(cfg, params, aux, dtype=jnp.float32)
     f32 = lambda v: jnp.asarray(v, jnp.float32 if np.asarray(v).dtype.kind == "f" else None)
     state = {k: f32(v) for k, v in state.items()}
@@ -87,10 +90,94 @@ def bench_continental(nrows=1200, ncols=1000, n_steps=5):
         s, d = step(s, forcing)
     jax.block_until_ready(s)
     elapsed = time.perf_counter() - t0
-    return cfg.num_pixels * n_steps / elapsed, elapsed / n_steps
+
+    # per-phase attribution: device time of the two dominant phases,
+    # measured with param arrays passed as jit args (not constants)
+    from lisflood_tpu.models.step import build_routers
+    from lisflood_tpu.ops.routing_ops import channel_routing
+    from lisflood_tpu.ops.physics import soil_columns_step
+    routers = build_routers(cfg, aux)
+    p = step.params
+    pa = {k: v for k, v in p.items() if isinstance(v, jax.Array)}
+    p_sc = {k: v for k, v in p.items() if not isinstance(v, jax.Array)}
+    d0 = dict(d)
+
+    def timed(fn):
+        jitted = jax.jit(lambda pa_, s_, d_: fn({**p_sc, **pa_}, s_, d_))
+        out = jitted(pa, s, d0)
+        jax.block_until_ready(out)
+        t = time.perf_counter()
+        for _ in range(3):
+            out = jitted(pa, s, d0)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t) / 3
+
+    phases = {
+        "channel_routing_ms": round(1e3 * timed(
+            lambda p_, s_, d_: channel_routing(cfg, p_, s_, d_, routers)), 2),
+        "soil_columns_ms": round(1e3 * timed(
+            lambda p_, s_, d_: soil_columns_step(cfg, p_, s_, d_)), 2),
+    }
+    return cfg.num_pixels * n_steps / elapsed, elapsed / n_steps, phases
+
+
+def bench_scaling(devices, nrows=400, ncols=300, n_steps=5):
+    """Multi-device scaling on a virtual CPU mesh (or real devices when
+    available): full model step with the subcatchment-sharded routing
+    kernel, pixel axis sharded over an N-device mesh. Reports cells*steps/s
+    at 1 and N devices and the parallel efficiency. Run via
+    `bench.py --devices N` (sets the CPU device count before jax init)."""
+    import time as _time
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from lisflood_tpu.parallel.shard_model import build_sharded_model_step
+
+    results = {}
+    for n in (1, devices):
+        mesh = Mesh(np.array(jax.devices()[:n]), ("pixels",))
+        step, state, forcing, cfg = build_sharded_model_step(
+            mesh, nrows=nrows, ncols=ncols, routing_kernel="sharded",
+            num_shards=devices)     # fixed logical shards -> same numerics
+        out = step(state, forcing)
+        jax.block_until_ready(out)
+        t0 = _time.perf_counter()
+        for _ in range(n_steps):
+            s, d = step(state, forcing)
+        jax.block_until_ready(s)
+        dt = (_time.perf_counter() - t0) / n_steps
+        results[n] = cfg.num_pixels / dt
+    eff = results[devices] / (results[1] * devices)
+    return results, eff
 
 
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--devices":
+        n = int(sys.argv[2])
+        os.environ["JAX_PLATFORMS"] = os.environ.get("JAX_PLATFORMS", "cpu")
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}").strip()
+        import jax
+        if os.environ["JAX_PLATFORMS"] == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache_jax"))
+        results, eff = bench_scaling(n)
+        print(json.dumps({
+            "metric": f"multi-device scaling (sharded routing kernel, {n}-device mesh)",
+            "value": round(results[n], 1),
+            "unit": "cells*steps/s",
+            "vs_baseline": round(eff, 3),
+            "single_device_value": round(results[1], 1),
+            "scaling_efficiency": round(eff, 3),
+            "devices": n,
+            "platform": jax.devices()[0].platform,
+        }))
+        return
+
     import jax
 
     platform = jax.devices()[0].platform
@@ -100,15 +187,21 @@ def main():
                       os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache_jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    big_value, big_per_step = bench_continental()
+    big_value, big_per_step, phases = bench_continental()
     small_value, small_per_step = bench_etrs89()
     print(json.dumps({
         "metric": "grid-cells*steps/s per chip (full lisflood step, 1.2M-pixel continental grid, 24 routing sub-steps)",
         "value": round(big_value, 1),
         "unit": "cells*steps/s",
         "vs_baseline": round(big_value / BASELINE_CELLS_STEPS_PER_S, 3),
+        # the denominator is an ESTIMATE: the reference cannot run in this
+        # environment (no pcraster); BASELINE_CELLS_STEPS_PER_S=1e5 is a
+        # deliberately generous figure for the reference's Numba/numexpr
+        # CPU path (see module docstring)
+        "baseline_estimated": True,
         "platform": platform,
         "seconds_per_step": round(big_per_step, 5),
+        "phase_breakdown_ms": phases,
         "etrs89_value": round(small_value, 1),
         "etrs89_vs_baseline": round(small_value / BASELINE_CELLS_STEPS_PER_S, 3),
         "etrs89_seconds_per_step": round(small_per_step, 5),

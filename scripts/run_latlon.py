@@ -111,9 +111,13 @@ def prerun(n_steps=None):
         m = np.isfinite(ref) & np.isfinite(ours)
         denom = np.maximum(np.abs(ref[m]), np.abs(ref[m]).mean() * 1e-3)
         rel = np.abs(ours[m] - ref[m]) / denom
-        stats[name] = rel
+        corr = float(np.corrcoef(ours[m], ref[m])[0, 1])
+        wrel = float(np.abs(ours[m] - ref[m]).sum() / np.abs(ref[m]).sum())
+        ratio = float(np.nansum(ours[m]) / np.nansum(ref[m]))
+        stats[name] = {"rel": rel, "corr": corr, "wrel": wrel, "ratio": ratio}
         print(f"{name}: n={m.sum()} max_rel={rel.max():.4f} "
-              f"mean_rel={rel.mean():.4f} p95={np.percentile(rel, 95):.4f}")
+              f"mean_rel={rel.mean():.4f} p95={np.percentile(rel, 95):.4f} "
+              f"corr={corr:.4f} wrel={wrel:.4f} ratio={ratio:.4f}")
     print("PRERUN", "PASS" if ok else "FAIL")
     return stats if ok else None
 

@@ -46,3 +46,55 @@ def test_latlon_short_vs_oracle():
     assert rel[0] < 5e-3, f"first-step discharge off by {rel[0]:.2%}"
     assert rel.max() < 0.10, f"max relative error {rel.max():.2%}"
     assert np.corrcoef(ours, ref)[0, 1] > 0.95
+
+
+@pytest.mark.slow
+def test_latlon_prerun_chain_oracle():
+    """Gate the prerun -> cold oracle chain (reference test_latlon.py:13-53):
+    a reduced (10-year) InitLisflood prerun writes CSF avgdis.map/lzavin.map
+    compared against the committed reference maps, then the cold run
+    consumes OUR OWN prerun outputs and must still hit the dis_short.tss
+    envelope.
+
+    Committed tolerances (measured against both the full 32-year and the
+    10-year prerun with the synthesized ta/e0; tp.nc is real):
+    - avgdis: corr > 0.999 and discharge-weighted rel < 0.15 — the main
+      stem matches the reference to ~2-10%;
+    - lzavin: corr > 0.5 and mass ratio within [0.7, 1.4] — local
+      recharge is directly proportional to the synthesized evaporation,
+      so only bulk consistency is checkable in this environment;
+    - cold chain: first step within 0.5%, max 10%, corr > 0.95 vs the
+      committed dis_short.tss (same envelope as the committed-init run).
+    """
+    if not os.path.isdir(CASE):
+        pytest.skip("reference lat-lon case not available")
+    import re
+    env = dict(os.environ)
+    env["LATLON_CPU"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, os.path.join(REPO, "scripts", "run_latlon.py"),
+                        "chain", "3650"],
+                       capture_output=True, text=True, timeout=560, env=env)
+    out = r.stdout
+    assert "PRERUN PASS" in out, out[-3000:] + r.stderr[-2000:]
+    assert "CHAIN PASS" in out, out[-3000:] + r.stderr[-2000:]
+
+    stats = {}
+    for line in out.splitlines():
+        m = re.match(r"(avgdis|lzavin): .*corr=([\d.]+) wrel=([\d.]+) ratio=([\d.]+)", line)
+        if m:
+            stats[m.group(1)] = (float(m.group(2)), float(m.group(3)), float(m.group(4)))
+    assert set(stats) == {"avgdis", "lzavin"}, out[-2000:]
+    corr, wrel, _ = stats["avgdis"]
+    assert corr > 0.999, f"avgdis corr {corr}"
+    assert wrel < 0.15, f"avgdis weighted rel {wrel}"
+    corr, _, ratio = stats["lzavin"]
+    assert corr > 0.5, f"lzavin corr {corr}"
+    assert 0.7 < ratio < 1.4, f"lzavin mass ratio {ratio}"
+
+    m = re.search(r"vs dis_short.tss: first_rel=([\d.]+) max_rel=([\d.]+) corr=([\d.]+)", out)
+    assert m, out[-2000:]
+    first_rel, max_rel, corr = map(float, m.groups())
+    assert first_rel < 5e-3, f"chain first-step rel {first_rel}"
+    assert max_rel < 0.10, f"chain max rel {max_rel}"
+    assert corr > 0.95, f"chain corr {corr}"
