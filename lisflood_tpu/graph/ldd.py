@@ -254,7 +254,7 @@ class RoutingSchedule:
         return self.chunks.shape[0]
 
 
-def build_schedule(graph: FlowGraph, chunk_size=256) -> RoutingSchedule:
+def build_schedule(graph: FlowGraph, chunk_size=256, order_graph=None) -> RoutingSchedule:
     """Pack pixels into fixed-width chunks in topological (headwater->outlet)
     order such that each pixel's upstream neighbours are in strictly earlier
     chunks. This generalises the reference's per-level batches
@@ -264,18 +264,27 @@ def build_schedule(graph: FlowGraph, chunk_size=256) -> RoutingSchedule:
 
     Dispatches to the native C++ pass (native/graph_preproc.cpp pack_chunks,
     equivalence-tested in tests/test_native_graph.py) and falls back to the
-    NumPy/Python implementation when the toolchain is unavailable."""
+    NumPy/Python implementation when the toolchain is unavailable.
+
+    `order_graph` (optional) supplies EXTRA ordering constraints: chunks
+    are packed against its (superset) edge set while the schedule's
+    downstream/edge table stays `graph`'s. The structure-cut routing graph
+    uses the PRE-CUT channel graph here so lake/reservoir cells land in
+    chunks strictly after their upstream feeders — required by the
+    diagonal-pipelined sub-step loop (ops/routing_ops.py), harmless (just
+    a stricter packing) for the sequential one."""
     P = graph.num_pixels
+    og = order_graph if order_graph is not None else graph
     lib = _native()
     if lib is not None:
         from . import native
-        packed, _ = native.pack_chunks(graph.downstream, chunk_size)
+        packed, _ = native.pack_chunks(og.downstream, chunk_size)
         downstream = np.full(P + 1, P, dtype=np.int32)
         valid = graph.downstream >= 0
         downstream[:P][valid] = graph.downstream[valid]
         return RoutingSchedule(chunks=packed, downstream=downstream,
                                num_pixels=P, chunk_size=chunk_size)
-    dist = graph.topo_distance()
+    dist = og.topo_distance()
     # iterate headwaters (max dist) -> outlets (dist 1), stable by pixel index
     order = np.lexsort((np.arange(P), -dist))
     chunk_of = -np.ones(P, dtype=np.int64)
@@ -284,7 +293,7 @@ def build_schedule(graph: FlowGraph, chunk_size=256) -> RoutingSchedule:
     down = graph.downstream
     # Pixels arrive upstream-before-downstream; a pixel can join the current
     # chunk unless one of its upstreams is already in it.
-    ups_lists = graph.upstream_lists()
+    ups_lists = og.upstream_lists()
     for p in order:
         conflict = any(chunk_of[u] == len(chunks) for u in ups_lists[p])
         if conflict or len(current) >= chunk_size:

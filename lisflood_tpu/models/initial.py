@@ -581,7 +581,10 @@ def build_model(settings, dtype=np.float64):
     aux["graph_chan"] = graph_chan
     aux["graph_kin"] = graph_kin
     aux["graph_tochan"] = graph_tochan
-    aux["schedule_kin"] = build_schedule(graph_kin)
+    # structure (lake/reservoir) cells must be chunked after their pre-cut
+    # upstream feeders for the pipelined sub-step loop — order against the
+    # pre-cut channel graph
+    aux["schedule_kin"] = build_schedule(graph_kin, order_graph=graph_chan)
     aux["schedule_tochan"] = build_schedule(graph_tochan)
 
     # ---------------- split routing initialSecond (routing.py:341-431) ----

@@ -315,7 +315,9 @@ def build_synthetic_model(nrows=16, ncols=16, seed=0, no_rout_steps=4,
     graph_tochan = FlowGraph(downstream=np.full(P, -1, np.int32),
                              ldd=np.full(P, 5, np.int8), num_pixels=P)
     aux = {
-        "schedule_kin": build_schedule(graph_kin, chunk_size),
+        # pre-cut `graph` as ordering constraints: structure cells chunked
+        # after their feeders (required by the pipelined sub-step loop)
+        "schedule_kin": build_schedule(graph_kin, chunk_size, order_graph=graph),
         "schedule_tochan": build_schedule(graph_tochan, chunk_size),
         "graph": graph,
         "graph_kin": graph_kin,

@@ -65,7 +65,13 @@ def _lake_substep(cfg, p, carry, inflow_cc, lake_idx, N, dtype):
     """Modified Puls lake routing (lakes.py:199-263). Operates in "routing
     space": natural pixel space or schedule-packed position space; the
     caller supplies the lake inflow and index vectors for that space."""
-    P = N
+    updates, q_out_m3 = _lake_substep_cc(cfg, p, carry, inflow_cc)
+    q_lake_out = jnp.zeros(N, dtype).at[lake_idx].set(q_out_m3)
+    return updates, q_lake_out
+
+
+def _lake_substep_cc(cfg, p, carry, inflow_cc):
+    """Per-lake (compressed) form: returns (state updates, q_out_m3)."""
     lake_in = (inflow_cc + carry["LakeInflowOldCC"]) * 0.5
     si = carry["LakeStorageM3CC"] / cfg.dt_routing - 0.5 * carry["LakeOutflowCC"] + lake_in
     outflow_cc = jnp.square(-p["LakeFactor"] + jnp.sqrt(p["LakeFactorSqr"] + 2 * si))
@@ -74,7 +80,6 @@ def _lake_substep(cfg, p, carry, inflow_cc, lake_idx, N, dtype):
     storage = jnp.where(jnp.isnan(storage) | (storage < 0), 0.0, storage)
     balance = carry["LakeStorageM3BalanceCC"] + lake_in * cfg.dt_routing - q_out_m3
     level = storage / p["LakeAreaCC"]
-    q_lake_out = jnp.zeros(P, dtype).at[lake_idx].set(q_out_m3)
     updates = {
         "LakeInflowOldCC": inflow_cc,
         "LakeInflowCC": inflow_cc,
@@ -85,13 +90,19 @@ def _lake_substep(cfg, p, carry, inflow_cc, lake_idx, N, dtype):
         "sumLakeInCC": carry["sumLakeInCC"] + inflow_cc * cfg.dt_routing,
         "sumLakeOutCC": carry["sumLakeOutCC"] + q_out_m3,
     }
-    return updates, q_lake_out
+    return updates, q_out_m3
 
 
 def _reservoir_substep(cfg, p, carry, inflow_cc, res_idx, N, dtype):
     """Rule-curve reservoir operation (reservoir.py:173-303); routing-space
     generic like _lake_substep."""
-    P = N
+    updates, q_out_m3 = _reservoir_substep_cc(cfg, p, carry, inflow_cc)
+    q_res_out = jnp.zeros(N, dtype).at[res_idx].set(q_out_m3)
+    return updates, q_res_out
+
+
+def _reservoir_substep_cc(cfg, p, carry, inflow_cc):
+    """Per-reservoir (compressed) form: returns (state updates, q_out_m3)."""
     inv_day = 1.0 / 86400.0
     q_in_m3 = inflow_cc * cfg.dt_routing
     storage = carry["ReservoirStorageM3CC"] + q_in_m3
@@ -119,14 +130,13 @@ def _reservoir_substep(cfg, p, carry, inflow_cc, res_idx, N, dtype):
     storage = storage - q_out_m3
     fill = storage / total
     fill = jnp.where(jnp.isnan(fill) | (fill < 0), 0.0, fill)
-    q_res_out = jnp.zeros(P, dtype).at[res_idx].set(q_out_m3)
     updates = {
         "ReservoirStorageM3CC": storage,
         "ReservoirFillCC": fill,
         "sumResInCC": carry["sumResInCC"] + q_in_m3,
         "sumResOutCC": carry["sumResOutCC"] + q_out_m3,
     }
-    return updates, q_res_out
+    return updates, q_out_m3
 
 
 def channel_routing(cfg, p, s, d, routers):
@@ -144,6 +154,10 @@ def channel_routing(cfg, p, s, d, routers):
     dtype = s["ChanQKin"].dtype
     kin = routers["kin"]
     packed = "kinp$ChanLength" in p and hasattr(kin, "route_packed")
+    if (packed and cfg.routing_pipeline == "diagonal" and cfg.no_rout_steps > 1
+            and getattr(kin, "scatter_src_np", None) is not None
+            and getattr(kin.ps, "n_shards", 1) == 1):
+        return channel_routing_pipelined(cfg, p, s, d, routers)
     if packed:
         pk = lambda name: p["kinp$" + name]
         pack = kin.pack
@@ -341,6 +355,14 @@ def channel_routing(cfg, p, s, d, routers):
         if key in carry:
             carry[key] = unpack(carry[key])
 
+    return _post_routing(cfg, p, s, d, carry, dtype)
+
+
+def _post_routing(cfg, p, s, d, carry, dtype):
+    """Post-substep-loop state assembly and diagnostics, shared by the
+    sequential and diagonal-pipelined sub-step loops
+    (Lisflood_dynamic.py:194-230, routing.py:645-706)."""
+    P = cfg.num_pixels
     dx = p["ChanLength"]
     inv_dx = 1.0 / dx
     catchtotal = lambda x: segment_spread(x, p["Catchments"], cfg.num_catchments)
@@ -415,3 +437,283 @@ def channel_routing(cfg, p, s, d, routers):
         out["OutletDischargeErrorSplitRouting"] = catchtotal(qout_corr)
         out["StorageStepINIT"] = storage_step1 + dis_structures
     return out
+
+
+def channel_routing_pipelined(cfg, p, s, d, routers):
+    """Wavefront-pipelined sub-step loop: chunk-major scan with ALL
+    NoRoutSteps sub-steps of a chunk computed inside one scan iteration.
+
+    The sequential loop runs NoRoutSteps x n_chunks iterations; but
+    sub-step t of chunk c depends only on sub-step t of earlier chunks
+    (the sweep window) and sub-step t-1 of the SAME chunk — so once the
+    scan is chunk-major, the whole T-deep sub-step chain of a chunk is
+    computable in one iteration (an unrolled t-loop), and every upstream
+    dependency is already complete. This is the spatial wavefront
+    pipelining of the routing DAG over time sub-steps (SURVEY.md §5):
+
+    - sequential depth drops from T x n_chunks to n_chunks iterations;
+    - all T sub-steps share ONE one-hot scatter matmul (T*L x C) x
+      (C, W*C): the selection operand is materialized once per chunk
+      instead of once per (chunk, sub-step), and the matmul has T*L rows
+      (48 for split routing at daily/hourly stepping) instead of L=2 —
+      both measured as the dominant costs of the sequential path;
+    - lake/reservoir sub-step chains run inside their chunk's iteration;
+      their inflow (feeder discharge at every sub-step) is staged into a
+      small per-structure buffer by the feeders' earlier iterations —
+      complete before use because the schedule is chunked against the
+      PRE-CUT graph (graph/ldd.py build_schedule order_graph).
+
+    Per-pixel numerics are identical to the sequential path (same Newton,
+    same clamp order); only the window-accumulation float grouping can
+    differ at ulp level — gated by tests/test_model.py.
+    """
+    dtype = s["ChanQKin"].dtype
+    kin = routers["kin"]
+    ps = kin.ps
+    pk = lambda name: p["kinp$" + name]
+    pack = kin.pack
+    unpack = kin.unpack
+    T = cfg.no_rout_steps
+    C = ps.chunk
+    n_chunks = ps.n_chunks
+    W = ps.window
+    beta = p["Beta"]
+    split = cfg.split_routing and not cfg.init_lisflood
+    lakes = cfg.simulate_lakes and not cfg.init_lisflood
+    reservoirs = cfg.simulate_reservoirs and not cfg.init_lisflood
+    L = 2 if split else 1
+
+    from .kinwave_packed import _newton_unrolled
+
+    c2 = lambda x: x.reshape(n_chunks, C)
+    # static per-chunk operands, consumed as scan xs
+    xs = {
+        "ToChan": c2(pack(d["ToChanM3RunoffDt"])),
+        "dx": c2(pk("ChanLength")),
+        "adx1": c2(pk("ChannelAlpha") * pk("ChanLength") / cfg.dt_routing),
+        "alpha1": c2(pk("ChannelAlpha")),
+        "ischan": c2(pk("IsChannelKinematic")),
+        "dl": jnp.asarray(ps.down_local).reshape(n_chunks, C),
+        "q1_0": c2(pack(s["ChanQKin"])),
+        "m31_0": c2(pack(s["ChanM3Kin"])),
+        "chanq_0": c2(pack(s["ChanQ"])),
+        "cidx": jnp.arange(n_chunks, dtype=jnp.int32),
+    }
+    if split:
+        xs.update({
+            "adx2": c2(pk("ChannelAlpha2") * pk("ChanLength") / cfg.dt_routing),
+            "alpha2": c2(pk("ChannelAlpha2")),
+            "qlimit": c2(pk("QLimit")),
+            "m3limit": c2(pk("M3Limit")),
+            "chan2m3start": c2(pk("Chan2M3Start")),
+            "chan2qstart": c2(pk("Chan2QStart")),
+            "q2_0": c2(pack(s["Chan2QKin"])),
+            "m32_0": c2(pack(s["Chan2M3Kin"])),
+        })
+    if cfg.open_water_evapo:
+        xs["eva"] = c2(pack(d["EvaAddM3Dt"]))
+    if cfg.water_use:
+        xs["wuse"] = c2(pack(d["withdrawal_CH_actual_M3_routStep"])
+                        - pack(d["returnflow_GwAbs2Channel_M3_routStep"]))
+    if cfg.inflow:
+        xs["qin_old"] = c2(pack(d["QInM3OldLoop"]))
+        xs["qdelta"] = c2(pack(d["QDelta"]))
+    if cfg.trans_loss:
+        xs["uptrans"] = c2(pk("UpTrans"))
+        xs["tp1"] = c2(pk("TransPower1"))
+        xs["tp2"] = c2(pk("TransPower2"))
+        xs["tsub"] = c2(pk("TransSub"))
+
+    iota_w = jnp.arange(W * C, dtype=jnp.int32)
+
+    if lakes:
+        nl = cfg.num_lakes
+        lake_chunk = pk("LakePos") // C
+        lake_lane = pk("LakePos") % C
+        lake_ups_chunk = pk("LakeUpsIdx") // C          # (nl, 8)
+        lake_ups_lane = pk("LakeUpsIdx") % C
+        lake_ups_w = pk("LakeUpsW")
+        buf_lake0 = jnp.zeros((nl, T + 1), dtype).at[:, 0].set(
+            (pack(s["ChanQ"])[pk("LakeUpsIdx")] * lake_ups_w).sum(1))
+    if reservoirs:
+        nr = cfg.num_reservoirs
+        res_chunk = pk("ResPos") // C
+        res_lane = pk("ResPos") % C
+        res_ups_chunk = pk("ResUpsIdx") // C
+        res_ups_lane = pk("ResUpsIdx") % C
+        res_ups_w = pk("ResUpsW")
+        buf_res0 = jnp.zeros((nr, T + 1), dtype).at[:, 0].set(
+            (pack(s["ChanQ"])[pk("ResUpsIdx")] * res_ups_w).sum(1))
+
+    carry0 = {"win": jnp.zeros((T, L, W * C), dtype)}
+    if lakes:
+        carry0.update(
+            buf_lake=buf_lake0,
+            LakeStorageM3CC=s["LakeStorageM3CC"], LakeInflowOldCC=s["LakeInflowOldCC"],
+            LakeInflowCC=jnp.zeros(nl, dtype), LakeOutflowCC=s["LakeOutflowCC"],
+            LakeStorageM3BalanceCC=s["LakeStorageM3BalanceCC"],
+            LakeLevelCC=s["LakeLevelCC"],
+            sumLakeInCC=jnp.zeros(nl, dtype), sumLakeOutCC=jnp.zeros(nl, dtype))
+    if reservoirs:
+        carry0.update(
+            buf_res=buf_res0,
+            ReservoirStorageM3CC=s["ReservoirStorageM3CC"],
+            ReservoirFillCC=s["ReservoirFillCC"],
+            sumResInCC=jnp.zeros(nr, dtype), sumResOutCC=jnp.zeros(nr, dtype))
+
+    def body(c, x):
+        cidx = x["cidx"]
+        inv_dx = 1.0 / x["dx"]
+        if lakes:
+            on_l = lake_chunk == cidx                   # (nl,)
+        if reservoirs:
+            on_r = res_chunk == cidx
+
+        q1, m31 = x["q1_0"], x["m31_0"]
+        chanq = x["chanq_0"]
+        if split:
+            q2, m32 = x["q2_0"], x["m32_0"]
+        sumdis = jnp.zeros(C, dtype)
+        trans_acc = jnp.zeros(C, dtype)
+        q_rows = []
+        chanq_rows = []
+
+        for t in range(T):
+            sideflow_m3 = x["ToChan"]
+            if cfg.open_water_evapo:
+                sideflow_m3 = sideflow_m3 - x["eva"]
+            if cfg.water_use:
+                sideflow_m3 = sideflow_m3 - x["wuse"]
+            if cfg.inflow:
+                sideflow_m3 = sideflow_m3 + (x["qin_old"] + (t + 1) * x["qdelta"]) / T
+            if cfg.trans_loss:
+                trans_out = jnp.where(x["uptrans"],
+                                      (chanq ** x["tp2"] - x["tsub"]) ** x["tp1"],
+                                      chanq)
+                trans_loss_m3 = (chanq - trans_out) * cfg.dt_routing
+                sideflow_m3 = sideflow_m3 - trans_loss_m3
+                trans_acc = trans_acc + trans_loss_m3
+            if lakes:
+                lk = {k: c[k] for k in ("LakeStorageM3CC", "LakeInflowOldCC",
+                                        "LakeInflowCC", "LakeOutflowCC",
+                                        "LakeStorageM3BalanceCC", "LakeLevelCC",
+                                        "sumLakeInCC", "sumLakeOutCC")}
+                upd, q_out_l = _lake_substep_cc(cfg, p, lk, c["buf_lake"][:, t])
+                for k, v in upd.items():
+                    c[k] = jnp.where(on_l, v, c[k])
+                sideflow_m3 = sideflow_m3.at[lake_lane].add(jnp.where(on_l, q_out_l, 0.0))
+            if reservoirs:
+                rs = {k: c[k] for k in ("ReservoirStorageM3CC", "ReservoirFillCC",
+                                        "sumResInCC", "sumResOutCC")}
+                upd, q_out_r = _reservoir_substep_cc(cfg, p, rs, c["buf_res"][:, t])
+                for k, v in upd.items():
+                    c[k] = jnp.where(on_r, v, c[k])
+                sideflow_m3 = sideflow_m3.at[res_lane].add(jnp.where(on_r, q_out_r, 0.0))
+
+            sideflow = jnp.where(x["ischan"], sideflow_m3 * inv_dx / cfg.dt_routing, 0)
+            sideflow = jnp.where(jnp.isnan(sideflow), 0.0, sideflow)
+
+            if not split:
+                q_in = q1[None]
+                lat = (sideflow * x["dx"])[None]
+                adx = x["adx1"][None]
+            else:
+                ratio_den = m31 + m32
+                sideflow_ratio = jnp.where(ratio_den > 0, m31 / jnp.where(ratio_den > 0, ratio_den, 1.0), 0.0)
+                over_limit = (m31 + m32 - x["chan2m3start"]) > x["m3limit"]
+                sideflow1 = jnp.where(over_limit, sideflow_ratio * sideflow, sideflow)
+                sideflow1 = jnp.where(jnp.abs(sideflow) < 1e-7, sideflow, sideflow1)
+                sideflow2 = sideflow - sideflow1 + x["chan2qstart"] * inv_dx
+                q_in = jnp.stack([q1, q2])
+                lat = jnp.stack([sideflow1, sideflow2]) * x["dx"][None]
+                adx = jnp.stack([x["adx1"], x["adx2"]])
+
+            cc_const = c["win"][t, :, :C] + adx * q_in ** beta + lat
+            q = _newton_unrolled(cc_const, adx, beta)          # (L, C)
+            q_rows.append(q)
+
+            if not split:
+                q1 = q[0]
+                m31 = jnp.maximum(x["dx"] * x["alpha1"] * q1 ** beta, 0.0)
+                q1 = (m31 * inv_dx / x["alpha1"]) ** (1 / beta)
+                chanq = q1
+            else:
+                q1v, q2v = q[0], q[1]
+                m31 = jnp.maximum(x["dx"] * x["alpha1"] * q1v ** beta, 0.0)
+                q1 = (m31 * inv_dx / x["alpha1"]) ** (1 / beta)
+                m32 = x["dx"] * x["alpha2"] * q2v ** beta
+                m32 = jnp.where(m32 - x["chan2m3start"] < 0.0, x["chan2m3start"], m32)
+                q2 = (m32 * inv_dx / x["alpha2"]) ** (1 / beta)
+                chanq = jnp.maximum(q1 + q2 - x["qlimit"], 0.0)
+            chanq_rows.append(chanq)
+            sumdis = sumdis + chanq
+
+        # one shared scatter for all T sub-steps: (T*L, C) x (C, W*C)
+        Q = jnp.stack(q_rows).reshape(T * L, C)
+        onehot = (x["dl"][:, None] == iota_w[None, :]).astype(dtype)
+        add = jax.lax.dot(Q, onehot,
+                          precision=jax.lax.Precision.HIGHEST).reshape(T, L, W * C)
+        c["win"] = jnp.concatenate(
+            [c["win"][:, :, C:], jnp.zeros((T, L, C), dtype)], axis=2) + add
+
+        # stage feeder discharge for downstream structures' sub-step chains
+        chanq_all = jnp.stack(chanq_rows)                      # (T, C)
+        if lakes:
+            feeds = lake_ups_chunk == cidx                     # (nl, 8)
+            vals = chanq_all[:, lake_ups_lane] * lake_ups_w[None]      # (T, nl, 8)
+            contrib = jnp.where(feeds[None], vals, 0.0).sum(-1)        # (T, nl)
+            c["buf_lake"] = c["buf_lake"].at[:, 1:].add(contrib.T)
+        if reservoirs:
+            feeds = res_ups_chunk == cidx
+            vals = chanq_all[:, res_ups_lane] * res_ups_w[None]
+            contrib = jnp.where(feeds[None], vals, 0.0).sum(-1)
+            c["buf_res"] = c["buf_res"].at[:, 1:].add(contrib.T)
+
+        ys = {"q1": q1, "m31": m31, "chanq": chanq, "sumdis": sumdis}
+        if split:
+            ys.update(q2=q2, m32=m32,
+                      cross2=(m32 - x["chan2m3start"]) * inv_dx,
+                      side1=sideflow1)
+        if cfg.trans_loss:
+            ys["trans"] = trans_acc
+        return c, ys
+
+    carry, ys = jax.lax.scan(body, carry0, xs)
+
+    collect = lambda name: unpack(ys[name].reshape(-1))
+    out_carry = {
+        "ChanQKin": collect("q1"),
+        "ChanM3Kin": collect("m31"),
+        "ChanQ": collect("chanq"),
+        "sumDisDay": collect("sumdis"),
+    }
+    if split:
+        out_carry.update({
+            "Chan2QKin": collect("q2"), "Chan2M3Kin": collect("m32"),
+            "CrossSection2Area": collect("cross2"), "Sideflow1Chan": collect("side1"),
+        })
+    if cfg.trans_loss:
+        out_carry["TransCum"] = s["TransCum"] + collect("trans")
+    if cfg.inflow:
+        # closed form of the per-substep ramp sum (inflow.py:145-147)
+        out_carry["QinADDEDM3"] = d["QInM3OldLoop"] + d["QDelta"] * (T + 1) / 2.0
+    if cfg.rep_mbts:
+        # AddedTRUN is linear in the per-substep terms -> one catchtotal
+        catch = p["Catchments"]
+        ct = lambda v: segment_spread(v, catch, cfg.num_catchments)
+        added = T * ct(d["ToChanM3RunoffDt"])
+        if cfg.inflow:
+            added = added + ct(out_carry["QinADDEDM3"])
+        if cfg.open_water_evapo:
+            added = added - T * ct(d["EvaAddM3Dt"])
+        if cfg.water_use:
+            added = added - T * ct(d["withdrawal_CH_actual_M3_routStep"]
+                                   - d["returnflow_GwAbs2Channel_M3_routStep"])
+        out_carry["AddedTRUN"] = added
+    for k in ("LakeStorageM3CC", "LakeInflowOldCC", "LakeInflowCC",
+              "LakeOutflowCC", "LakeStorageM3BalanceCC", "LakeLevelCC",
+              "sumLakeInCC", "sumLakeOutCC", "ReservoirStorageM3CC",
+              "ReservoirFillCC", "sumResInCC", "sumResOutCC"):
+        if k in carry:
+            out_carry[k] = carry[k]
+    return _post_routing(cfg, p, s, d, out_carry, s["ChanQKin"].dtype)
