@@ -154,8 +154,15 @@ def channel_routing(cfg, p, s, d, routers):
     dtype = s["ChanQKin"].dtype
     kin = routers["kin"]
     packed = "kinp$ChanLength" in p and hasattr(kin, "route_packed")
-    if (packed and cfg.routing_pipeline == "diagonal" and cfg.no_rout_steps > 1
-            and getattr(kin, "scatter_src_np", None) is not None
+    structs = ((cfg.simulate_lakes or cfg.simulate_reservoirs)
+               and not cfg.init_lisflood)
+    if (packed and cfg.routing_pipeline == "pallas" and cfg.no_rout_steps > 1
+            and not structs and not getattr(kin, "no_edges", True)
+            and getattr(kin.ps, "n_shards", 1) == 1):
+        return channel_routing_pallas(cfg, p, s, d, routers)
+    if (packed and cfg.routing_pipeline in ("diagonal", "pallas")
+            and cfg.no_rout_steps > 1
+            and not getattr(kin, "no_edges", True)
             and getattr(kin.ps, "n_shards", 1) == 1):
         return channel_routing_pipelined(cfg, p, s, d, routers)
     if packed:
@@ -717,3 +724,99 @@ def channel_routing_pipelined(cfg, p, s, d, routers):
         if k in carry:
             out_carry[k] = carry[k]
     return _post_routing(cfg, p, s, d, out_carry, s["ChanQKin"].dtype)
+
+
+def channel_routing_pallas(cfg, p, s, d, routers):
+    """Sub-step loop on the fused Mosaic kernel (ops/kinwave_pallas.py).
+
+    Selected by RoutingPipeline=pallas for float32 runs without
+    lakes/reservoirs (those configurations fall back to the XLA paths —
+    channel_routing dispatches accordingly)."""
+    from .kinwave_pallas import build_substep_pallas
+
+    dtype = s["ChanQKin"].dtype
+    kin = routers["kin"]
+    ps = kin.ps
+    pk = lambda name: p["kinp$" + name]
+    pack = kin.pack
+    unpack = kin.unpack
+    T = cfg.no_rout_steps
+    C = ps.chunk
+    n_chunks = ps.n_chunks
+    split = cfg.split_routing and not cfg.init_lisflood
+
+    c2 = lambda x: x.reshape(n_chunks, C)
+    xs = {
+        "ToChan": c2(pack(d["ToChanM3RunoffDt"])),
+        "dx": c2(pk("ChanLength")),
+        "adx1": c2(pk("ChannelAlpha") * pk("ChanLength") / cfg.dt_routing),
+        "alpha1": c2(pk("ChannelAlpha")),
+        "ischan": c2(pk("IsChannelKinematic")),
+        "dl": jnp.asarray(ps.down_local).reshape(n_chunks, C),
+        "q1_0": c2(pack(s["ChanQKin"])),
+        "m31_0": c2(pack(s["ChanM3Kin"])),
+        "chanq_0": c2(pack(s["ChanQ"])),
+    }
+    has = {"split": split}
+    if split:
+        xs.update({
+            "adx2": c2(pk("ChannelAlpha2") * pk("ChanLength") / cfg.dt_routing),
+            "alpha2": c2(pk("ChannelAlpha2")),
+            "qlimit": c2(pk("QLimit")),
+            "m3limit": c2(jnp.minimum(pk("M3Limit"), jnp.finfo(jnp.float32).max)),
+            "chan2m3start": c2(pk("Chan2M3Start")),
+            "chan2qstart": c2(pk("Chan2QStart")),
+            "q2_0": c2(pack(s["Chan2QKin"])),
+            "m32_0": c2(pack(s["Chan2M3Kin"])),
+        })
+    if cfg.open_water_evapo:
+        xs["eva"] = c2(pack(d["EvaAddM3Dt"]))
+        has["eva"] = True
+    if cfg.water_use:
+        xs["wuse"] = c2(pack(d["withdrawal_CH_actual_M3_routStep"])
+                        - pack(d["returnflow_GwAbs2Channel_M3_routStep"]))
+        has["wuse"] = True
+    if cfg.inflow:
+        xs["qin_old"] = c2(pack(d["QInM3OldLoop"]))
+        xs["qdelta"] = c2(pack(d["QDelta"]))
+        has["qin_old"] = True
+    if cfg.trans_loss:
+        xs["uptrans"] = c2(pk("UpTrans"))
+        xs["tp1"] = c2(pk("TransPower1"))
+        xs["tp2"] = c2(pk("TransPower2"))
+        xs["tsub"] = c2(pk("TransSub"))
+        has["uptrans"] = True
+
+    interpret = jax.devices()[0].platform != "tpu"
+    run = build_substep_pallas(cfg, ps, float(p["Beta"]), has, interpret=interpret)
+    ys = run(xs)
+
+    collect = lambda name: unpack(ys[name].reshape(-1)).astype(dtype)
+    out_carry = {
+        "ChanQKin": collect("q1"),
+        "ChanM3Kin": collect("m31"),
+        "ChanQ": collect("chanq"),
+        "sumDisDay": collect("sumdis"),
+    }
+    if split:
+        out_carry.update({
+            "Chan2QKin": collect("q2"), "Chan2M3Kin": collect("m32"),
+            "CrossSection2Area": collect("cross2"), "Sideflow1Chan": collect("side1"),
+        })
+    if cfg.trans_loss:
+        out_carry["TransCum"] = s["TransCum"] + collect("trans")
+    if cfg.inflow:
+        out_carry["QinADDEDM3"] = d["QInM3OldLoop"] + d["QDelta"] * (T + 1) / 2.0
+    if cfg.rep_mbts:
+        catch = p["Catchments"]
+        ct = lambda v: segment_spread(v, catch, cfg.num_catchments)
+        added = T * ct(d["ToChanM3RunoffDt"])
+        if cfg.inflow:
+            added = added + ct(out_carry["QinADDEDM3"])
+        if cfg.open_water_evapo:
+            added = added - T * ct(d["EvaAddM3Dt"])
+        if cfg.water_use:
+            added = added - T * ct(d["withdrawal_CH_actual_M3_routStep"]
+                                   - d["returnflow_GwAbs2Channel_M3_routStep"])
+        out_carry["AddedTRUN"] = added
+    return _post_routing(cfg, p, s, d, out_carry, dtype)
