@@ -160,6 +160,12 @@ def load_settings(settings_file, sys_args=(), opts_to_set=(), opts_to_unset=(), 
         raw = vars_to_set.get(name, str(node.attributes["value"].value))
         binding[name] = _substitute(raw, user)
     binding["calendar_type"] = binding.get("CalendarConvention", "proleptic_gregorian")
+    # programmatic overrides for keys the template does not declare
+    # (e.g. AsyncOutput, RoutingKernel): visible via binding like any
+    # declared key
+    for name, raw in vars_to_set.items():
+        if name not in binding:
+            binding[name] = _substitute(str(raw), user)
 
     # lfoptions over defaults
     options = default_options()

@@ -262,6 +262,13 @@ class OutputManager:
                           if settings.step_start_int <= x <= settings.step_end_int]
         self.map_writers = []       # (writer, trigger) trigger in {'end','steps','all'}
         seen_paths = set()
+        # async map writing (reference output.py:449-480): a single writer
+        # thread serializes h5py access while overlapping device compute;
+        # disable with AsyncOutput=False
+        self._async = str(binding.get("AsyncOutput", "True")) != "False"
+        self._write_queue = None
+        self._write_worker = None
+        self._write_error = None
 
         write_nc = settings.options.get("writeNetcdf") or settings.options.get("writeNetcdfStack")
         meta = TemplateMeta(settings)
@@ -328,6 +335,43 @@ class OutputManager:
                                                write_header=not settings.flags.get("noheader"))
             self.tss_samplers[name] = (sampler, ts)
 
+    def _writer_loop(self):
+        while True:
+            item = self._write_queue.get()
+            if item is None:
+                return
+            w, date, vec, step = item
+            try:
+                w.write_step(date, vec, step=step)
+            except Exception as e:        # surfaced at close()
+                self._write_error = e
+
+    def _dispatch_write(self, w, date, vec, step):
+        """Stage a map write on the writer thread (reference
+        output.py:449-480 OutputMapsFactoryThreads): the host netCDF write
+        overlaps the next step's device compute. Bounded queue so a slow
+        filesystem backpressures instead of buffering the whole run."""
+        if not self._async:
+            w.write_step(date, vec, step=step)
+            return
+        import queue as _queue
+        import threading
+        if self._write_queue is None:
+            self._write_queue = _queue.Queue(maxsize=64)
+            self._write_worker = threading.Thread(target=self._writer_loop, daemon=True)
+            self._write_worker.start()
+        self._write_queue.put((w, date, np.asarray(vec, np.float64).copy(), step))
+
+    def _drain_writes(self):
+        if self._write_queue is not None:
+            self._write_queue.put(None)
+            self._write_worker.join()
+            self._write_queue = None
+            self._write_worker = None
+        if self._write_error is not None:
+            err, self._write_error = self._write_error, None
+            raise err
+
     def needed_fields(self):
         """Diagnostic fields the active outputs read (params excluded —
         compound expressions may reference converters like M3toMM, which
@@ -354,13 +398,13 @@ class OutputManager:
         for w, trigger, freq in self.map_writers:
             if trigger == "end":
                 if is_last:
-                    w.write_step(date, self._resolve(diag, w.entry.output_var), step=step)
+                    self._dispatch_write(w, date, self._resolve(diag, w.entry.output_var), step)
             elif trigger == "steps":
                 if step in self.rep_steps and freq_ok(freq):
-                    w.write_step(date, self._resolve(diag, w.entry.output_var), step=step)
+                    self._dispatch_write(w, date, self._resolve(diag, w.entry.output_var), step)
             else:  # all
                 if freq_ok(freq):
-                    w.write_step(date, self._resolve(diag, w.entry.output_var), step=step)
+                    self._dispatch_write(w, date, self._resolve(diag, w.entry.output_var), step)
 
         for name, (sampler, ts) in self.tss_samplers.items():
             field = np.asarray(self._resolve(diag, ts.output_var), np.float64)
@@ -376,6 +420,7 @@ class OutputManager:
             self.tss_writers[name].sample(step, values)
 
     def close(self):
+        self._drain_writes()
         for w, _, _ in self.map_writers:
             w.close()
         for w in self.tss_writers.values():

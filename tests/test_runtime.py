@@ -191,3 +191,33 @@ def test_loud_and_debug_flags(tmp_path, capsys):
     ncols = len(rows[0].split())
     assert ncols in (3, 5)   # i, TCSA, [C2A,] ChanM3 [, Chan2M3]
     assert len(rows) == runner.grid.num_pixels - 1   # reference's range(n-1) quirk
+
+
+@pytest.mark.slow
+def test_async_output_identical(tmp_path):
+    """Async map writing (AsyncOutput default, reference output.py:449-480
+    ThreadPool analogue) produces byte-identical netCDF outputs to the
+    synchronous path."""
+    from lisflood_tpu.models.driver import LisfloodRunner
+
+    outs = {}
+    for mode in ("True", "False"):
+        out = tmp_path / mode
+        out.mkdir()
+        s = make_settings(out, opts_on=("repStateMaps", "repDischargeTs"),
+                          vars_extra={"AsyncOutput": mode})
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = LisfloodRunner(s)
+        assert r.outputs._async == (mode == "True")
+        r.run()
+        outs[mode] = out
+    import h5py
+    files = sorted(f for f in os.listdir(outs["True"]) if f.endswith(".nc"))
+    assert files, "no map outputs produced"
+    for fn in files:
+        with h5py.File(outs["True"] / fn) as fa, h5py.File(outs["False"] / fn) as fb:
+            keys = [k for k in fa.keys() if k not in ("time",)]
+            for k in keys:
+                np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]),
+                                              err_msg=f"{fn}:{k}")
