@@ -74,7 +74,7 @@ def bench_continental(nrows=1200, ncols=1000, n_steps=5, chunk_size=512):
     from lisflood_tpu.models.synthetic import build_synthetic_model, synthetic_forcing
     from lisflood_tpu.models.step import build_step
 
-    # chunk_size=512 measured fastest on the real chip (scripts/_chunkexp):
+    # chunk_size=512 measured fastest on the real chip (see PERF.md):
     # the one-hot scatter matmul cost grows linearly in C while the scan
     # iteration overhead floors below C~512
     cfg, params, state, aux = build_synthetic_model(
