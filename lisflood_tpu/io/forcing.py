@@ -172,6 +172,12 @@ class ForcingReader:
         # re-checked under the lock before every read)
         if worker is not None:
             worker.join(timeout=5.0)
+            if worker.is_alive():
+                # a decode stuck >5 s on a slow filesystem: leak the reader
+                # rather than closing the h5py handle under the worker's feet
+                print(f"ForcingReader.close: prefetch worker for "
+                      f"{self.nc.path} still busy; leaking file handle")
+                return
         self.nc.close()
 
 

@@ -170,9 +170,17 @@ class MapLoader:
         # MapsCaching is a binding (textvar), not an option — the
         # reference tests set it via vars_to_set (netcdf.py:333,403)
         if str(self.binding.get("MapsCaching", "False")) == "True":
+            # the uncached read also depends on the grid ORIGIN (cut_window)
+            # and — for numeric timestepInit — on CalendarDayStart/DtSec, so
+            # both are part of the key: two runs in one process with
+            # different same-size masks or calendars must not collide
             key = (value, timestampflag, averageyearflag,
                    str(getattr(self.settings, "timestep_init", None)),
-                   self.grid.nrows, self.grid.ncols)
+                   str(self.binding.get("CalendarDayStart")),
+                   str(self.binding.get("DtSec")),
+                   self.grid.nrows, self.grid.ncols,
+                   float(self.grid.west), float(self.grid.north),
+                   float(self.grid.cell))
             hit = MapsCache.get(key)
             if hit is not None:
                 data, from_int = hit

@@ -340,6 +340,8 @@ class OutputManager:
             item = self._write_queue.get()
             if item is None:
                 return
+            if self._write_error is not None:
+                continue                  # first failure wins; drain the rest
             w, date, vec, step = item
             try:
                 w.write_step(date, vec, step=step)
@@ -368,9 +370,6 @@ class OutputManager:
             self._write_worker.join()
             self._write_queue = None
             self._write_worker = None
-        if self._write_error is not None:
-            err, self._write_error = self._write_error, None
-            raise err
 
     def needed_fields(self):
         """Diagnostic fields the active outputs read (params excluded —
@@ -420,11 +419,19 @@ class OutputManager:
             self.tss_writers[name].sample(step, values)
 
     def close(self):
+        # drain the async queue, then close/flush EVERY writer before
+        # surfacing a staged write error — a failed map write must not leave
+        # the other output files unflushed
         self._drain_writes()
-        for w, _, _ in self.map_writers:
-            w.close()
-        for w in self.tss_writers.values():
-            w.flush()
+        try:
+            for w, _, _ in self.map_writers:
+                w.close()
+            for w in self.tss_writers.values():
+                w.flush()
+        finally:
+            if self._write_error is not None:
+                err, self._write_error = self._write_error, None
+                raise err
 
 
 class LisfloodRunner:

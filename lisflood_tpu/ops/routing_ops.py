@@ -156,8 +156,12 @@ def channel_routing(cfg, p, s, d, routers):
     packed = "kinp$ChanLength" in p and hasattr(kin, "route_packed")
     structs = ((cfg.simulate_lakes or cfg.simulate_reservoirs)
                and not cfg.init_lisflood)
+    # Mosaic has no f64: the pallas path requires a float32 run (Precision=
+    # single). A Precision=double run asking for RoutingPipeline=pallas falls
+    # back to the XLA pipelined path instead of silently degrading to f32.
     if (packed and cfg.routing_pipeline == "pallas" and cfg.no_rout_steps > 1
-            and not structs and not getattr(kin, "no_edges", True)
+            and dtype == jnp.float32 and not structs
+            and not getattr(kin, "no_edges", True)
             and getattr(kin.ps, "n_shards", 1) == 1):
         return channel_routing_pallas(cfg, p, s, d, routers)
     if (packed and cfg.routing_pipeline in ("diagonal", "pallas")

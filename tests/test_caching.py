@@ -91,10 +91,12 @@ def test_remote_input_access_retries(tmp_path, monkeypatch):
     target.write_bytes(b"ok")
     calls = {"n": 0}
 
+    import errno
+
     def flaky(path):
         calls["n"] += 1
         if calls["n"] < 3:
-            raise OSError("transient network error")
+            raise OSError(errno.ENETDOWN, "transient network error")
         return open(path, "rb").read()
 
     monkeypatch.setattr(retry, "READ_PAUSE", 0.001)
@@ -105,14 +107,29 @@ def test_remote_input_access_retries(tmp_path, monkeypatch):
     with pytest.raises(LisfloodFileError):
         retry.remote_input_access(lambda p: open(p, "rb"), str(tmp_path / "nope.bin"))
 
-    # persistent failure on an existing file -> bounded attempts then IOError
+    # persistent transient failure on an existing file -> bounded attempts
+    # then IOError chained from the original error
     monkeypatch.setattr(retry, "MAX_READ_TRIALS", 3)
     calls["n"] = 0
 
     def always_fails(path):
         calls["n"] += 1
-        raise OSError("still down")
+        raise OSError(errno.ESTALE, "still down")
 
-    with pytest.raises(IOError):
+    with pytest.raises(IOError) as excinfo:
         retry.remote_input_access(always_fails, str(target))
     assert calls["n"] == 3
+    assert isinstance(excinfo.value.__cause__, OSError)
+
+    # NON-transient error on an existing file (e.g. h5py on a truncated
+    # file raises an errno-less OSError) -> the original error re-raises
+    # immediately instead of 100 retries behind a network message
+    calls["n"] = 0
+
+    def corrupt(path):
+        calls["n"] += 1
+        raise OSError("unable to open file (truncated file)")
+
+    with pytest.raises(OSError, match="truncated"):
+        retry.remote_input_access(corrupt, str(target))
+    assert calls["n"] == 1
