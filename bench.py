@@ -76,7 +76,9 @@ def bench_continental(nrows=1200, ncols=1000, n_steps=5, chunk_size=512):
 
     # chunk_size=512 measured fastest on the real chip (see PERF.md):
     # the one-hot scatter matmul cost grows linearly in C while the scan
-    # iteration overhead floors below C~512
+    # iteration overhead floors below C~512. The default RoutingPipeline
+    # (auto) dispatches this full-option f32 TPU run to the fused Mosaic
+    # sub-step kernel WITH the lake/reservoir chains (ops/kinwave_pallas.py).
     cfg, params, state, aux = build_synthetic_model(
         nrows=nrows, ncols=ncols, no_rout_steps=24, chunk_size=chunk_size)
     step, _ = build_step(cfg, params, aux, dtype=jnp.float32)
@@ -93,10 +95,12 @@ def bench_continental(nrows=1200, ncols=1000, n_steps=5, chunk_size=512):
 
     # per-phase attribution: device time of the two dominant phases,
     # measured with param arrays passed as jit args (not constants)
-    from lisflood_tpu.models.step import build_routers
+    from lisflood_tpu.models.step import build_routers, packed_routing_params
     from lisflood_tpu.ops.routing_ops import channel_routing
     from lisflood_tpu.ops.physics import soil_columns_step
     routers = build_routers(cfg, aux)
+    _, feeders_earlier = packed_routing_params(cfg, params, routers["kin"].ps)
+    routers["kin"].struct_feeders_earlier = feeders_earlier
     p = step.params
     pa = {k: v for k, v in p.items() if isinstance(v, jax.Array)}
     p_sc = {k: v for k, v in p.items() if not isinstance(v, jax.Array)}
@@ -119,25 +123,22 @@ def bench_continental(nrows=1200, ncols=1000, n_steps=5, chunk_size=512):
             lambda p_, s_, d_: soil_columns_step(cfg, p_, s_, d_)), 2),
     }
 
-    # secondary: the fused Mosaic sub-step kernel (RoutingPipeline=pallas,
-    # no lakes/reservoirs — structure chains stay on the XLA path)
+    # secondary: the sequential XLA sub-step loop (RoutingPipeline=substeps)
+    # on the SAME full-option configuration — the fallback path and the
+    # equivalence-gate partner of the Mosaic kernel
     import dataclasses
-    cfg2, params2, state2, aux2 = build_synthetic_model(
-        nrows=nrows, ncols=ncols, no_rout_steps=24, chunk_size=chunk_size,
-        with_structures=False)
-    cfg2 = dataclasses.replace(cfg2, routing_pipeline="pallas")
-    step2, _ = build_step(cfg2, params2, aux2, dtype=jnp.float32)
-    s2 = {k: f32(v) for k, v in state2.items()}
-    f2 = {k: f32(v) for k, v in synthetic_forcing(cfg2.num_pixels).items()}
-    o2, _ = step2(s2, f2)
+    cfg2 = dataclasses.replace(cfg, routing_pipeline="substeps")
+    step2, _ = build_step(cfg2, params, aux, dtype=jnp.float32)
+    s2 = {k: f32(v) for k, v in state.items()}
+    o2, _ = step2(s2, forcing)
     jax.block_until_ready(o2)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        o2, _ = step2(s2, f2)
+        o2, _ = step2(s2, forcing)
     jax.block_until_ready(o2)
-    pallas_per_step = (time.perf_counter() - t0) / n_steps
-    phases["pallas_nostructs_seconds_per_step"] = round(pallas_per_step, 5)
-    phases["pallas_nostructs_value"] = round(cfg2.num_pixels / pallas_per_step, 1)
+    substeps_per_step = (time.perf_counter() - t0) / n_steps
+    phases["xla_substeps_seconds_per_step"] = round(substeps_per_step, 5)
+    phases["pallas_vs_xla_speedup"] = round(substeps_per_step * n_steps / elapsed, 3)
     return cfg.num_pixels * n_steps / elapsed, elapsed / n_steps, phases
 
 
@@ -168,8 +169,28 @@ def bench_scaling(devices, nrows=800, ncols=800, n_steps=3):
         jax.block_until_ready(s)
         dt = (_time.perf_counter() - t0) / n_steps
         results[n] = cfg.num_pixels / dt
+
+    # partition communication model: the virtual CPU mesh cannot measure
+    # ICI, but the cut-edge stats give the real-slice projection on paper —
+    # bytes exchanged per routing sub-step is what rides ICI on hardware
+    from lisflood_tpu.models.synthetic import build_synthetic_model
+    from lisflood_tpu.parallel.partition import catchment_partition
+    cfg2, _, _, aux2 = build_synthetic_model(nrows=nrows, ncols=ncols)
+    shard_of, stats = catchment_partition(aux2["graph_kin"], devices)
+    n_cut = int(stats["cut_edges"].shape[0])
+    lanes = 2            # split routing: (ChanQKin, Chan2QKin) per cut edge
+    bytes_per_substep = n_cut * lanes * 4
+    comm = {
+        "cut_edges": n_cut,
+        "cut_edge_fraction": round(n_cut / max(cfg2.num_pixels, 1), 6),
+        "bytes_per_substep": bytes_per_substep,
+        "shard_sizes": [int(x) for x in stats["shard_sizes"]],
+        # v5e ICI ~45 GB/s per link: projected exchange time per sub-step,
+        # to compare against the measured per-sub-step compute on hardware
+        "projected_ici_us_per_substep": round(bytes_per_substep / 45e9 * 1e6, 3),
+    }
     eff = results[devices] / (results[1] * devices)
-    return results, eff
+    return results, eff, comm
 
 
 def main():
@@ -192,7 +213,7 @@ def main():
             f"--devices {n} needs {n} devices, got {len(jax.devices())}")
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache_jax"))
-        results, eff = bench_scaling(n)
+        results, eff, comm = bench_scaling(n)
         print(json.dumps({
             "metric": f"multi-device scaling (sharded routing kernel, {n}-device mesh)",
             "value": round(results[n], 1),
@@ -201,6 +222,7 @@ def main():
             "single_device_value": round(results[1], 1),
             "scaling_efficiency": round(eff, 3),
             "devices": n,
+            "partition_comm": comm,
             "platform": jax.devices()[0].platform,
             "note": ("virtual CPU mesh: per-op overhead dominates at CPU "
                      "speeds, so this under-reports ICI scaling; the "

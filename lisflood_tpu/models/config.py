@@ -47,10 +47,13 @@ class ModelConfig:
     # logical shard count for routing_kernel='sharded' (fixed independent
     # of the device count so results are bit-identical across meshes)
     num_shards: int = 1
-    # sub-step loop schedule: 'substeps' (sequential NoRoutSteps x chunks
-    # scan) or 'diagonal' (wavefront-pipelined over substep+chunk
-    # diagonals, ~NoRoutSteps x fewer sequential iterations)
-    routing_pipeline: str = "substeps"
+    # sub-step loop schedule: 'auto' (default — fastest equivalence-gated
+    # path for the configuration: the fused Mosaic kernel on a float32 TPU
+    # run, else the wavefront-pipelined diagonal loop, else the sequential
+    # loop), 'substeps' (sequential NoRoutSteps x chunks scan), 'diagonal'
+    # (wavefront-pipelined over substep+chunk diagonals, ~NoRoutSteps x
+    # fewer sequential iterations), or 'pallas' (fused Mosaic kernel)
+    routing_pipeline: str = "auto"
     # discretisation
     no_rout_steps: int = 24
     dt_sec: float = 86400.0
@@ -115,7 +118,7 @@ class ModelConfig:
             num_shards=int(settings.binding.get("RoutingShards", 4)
                            if str(settings.binding.get("RoutingKernel", "packed")) == "sharded"
                            else 1),
-            routing_pipeline=str(settings.binding.get("RoutingPipeline", "substeps")),
+            routing_pipeline=str(settings.binding.get("RoutingPipeline", "auto")),
             no_rout_steps=no_rout,
             dt_sec=dt_sec,
         )

@@ -93,8 +93,19 @@ def packed_routing_params(cfg, params_np, ps):
     """Host-side schedule-order reorder of the per-pixel params the
     channel-routing sub-step loop touches (consumed as p['kinp$...'] by
     ops/routing_ops.channel_routing when the packed router is active).
-    Padding-slot fills are chosen so padded lanes are inert."""
+    Padding-slot fills are chosen so padded lanes are inert.
+
+    Returns (params, feeders_earlier): the second element records whether
+    every structure cell sits in a strictly later schedule chunk than ALL
+    of its feeders — the staging discipline the diagonal-pipelined and
+    pallas sub-step loops rely on (they stage feeder discharge after a
+    chunk's t-loop). build_schedule's order_graph packing guarantees it
+    for the single-shard packed schedule; shard-local schedules
+    (routing_kernel='sharded') may not, and then only the sequential
+    sub-step loop (which reads previous-sub-step ChanQ directly) is
+    eligible."""
     out = {}
+    feeders_earlier = [True]
 
     def pk(name, fill=0.0):
         out["kinp$" + name] = ps.pack_np(np.asarray(params_np[name], np.float64), fill)
@@ -151,6 +162,8 @@ def packed_routing_params(cfg, params_np, ps):
             ups = np.flatnonzero(downstruct == pix)
             assert ups.size <= 8, f"structure cell {pix} has {ups.size} upstreams"
             pos = ps.inv_perm[ups]
+            if not (pos // ps.chunk < ps.inv_perm[pix] // ps.chunk).all():
+                feeders_earlier[0] = False
             idx[i, :pos.size] = pos
             w[i, :pos.size] = 1.0
         return idx, w
@@ -161,7 +174,7 @@ def packed_routing_params(cfg, params_np, ps):
     if cfg.simulate_reservoirs and not cfg.init_lisflood:
         out["kinp$ResPos"] = ps.inv_perm[np.asarray(params_np["ReservoirIndex"], np.int64)].astype(np.int32)
         out["kinp$ResUpsIdx"], out["kinp$ResUpsW"] = ups_gather(params_np["ReservoirIndex"])
-    return out
+    return out, feeders_earlier[0]
 
 
 def build_step(cfg, params_np, aux, dtype=jnp.float64):
@@ -177,7 +190,9 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
 
     routers = build_routers(cfg, aux)
     if hasattr(routers["kin"], "ps"):
-        for k, v in packed_routing_params(cfg, params_np, routers["kin"].ps).items():
+        kinp, feeders_earlier = packed_routing_params(cfg, params_np, routers["kin"].ps)
+        routers["kin"].struct_feeders_earlier = feeders_earlier
+        for k, v in kinp.items():
             p[k] = jnp.asarray(v, dtype if v.dtype.kind == "f" else None)
     ncatch = cfg.num_catchments
 

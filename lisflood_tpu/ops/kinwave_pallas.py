@@ -1,22 +1,34 @@
 """Pallas TPU kernel: the channel-routing sub-step loop as one Mosaic
-program.
+program, including the lake / reservoir structure chains.
 
 Both XLA formulations of the sub-step loop (sequential and chunk-major
 pipelined, ops/routing_ops.py) bottom out at per-op dispatch overhead:
 the loop body is ~30 small (L, C) VPU ops per (chunk, sub-step), ~2M op
 executions per continental model step. This kernel fuses the whole loop:
 grid = chunks (sequential on-core), the T sub-steps run as an in-kernel
-fori_loop, and every intermediate — the rolling inflow window, the
+unrolled loop, and every intermediate — the rolling inflow window, the
 one-hot scatter operand, the collected sub-step discharges — lives in
 VMEM. The scatter matmul (T*L, C) x (C, W*C) hits the MXU with T*L rows
 and its selection operand never touches HBM.
 
+Structures (lakes.py:199-263, reservoir.py:173-303): because the packed
+schedule chunks every structure cell strictly AFTER its feeder pixels
+(graph/ldd.py build_schedule order_graph; asserted in
+models/step.py packed_routing_params), a structure's per-sub-step inflow
+buffer is complete before its owner chunk runs. The whole T-deep
+Modified-Puls / rule-curve chain therefore hoists OUT of the routing
+t-loop: it runs once per owner chunk as (1, NLp) VPU math over a
+lane-padded structure axis, its T outflows scatter into the chunk's
+sideflow rows with ONE (T, NLp) x (NLp, C) MXU matmul, and feeder chunks
+stage their T discharges into the inflow buffers with one
+(T, C) x (C, NLp) matmul. Chunks that neither own nor feed a structure
+skip all of it via pl.when on SMEM per-chunk flags — structure cost is
+O(#structure-adjacent chunks), not O(n_chunks).
+
 Scope: split and single routing with the elementwise sideflow terms
-(open-water evaporation, water use, inflow ramp, transmission loss).
-Lake/reservoir chunks fall back to the XLA paths (routing_ops.py) — the
-structure sub-step chains are scalar-heavy and stay outside. float32
-only (Mosaic has no f64): this is the TPU production/bench precision;
-the f64 parity path stays on the XLA kernels.
+(open-water evaporation, water use, inflow ramp, transmission loss) and
+lakes/reservoirs. float32 only (Mosaic has no f64): this is the TPU
+production/bench precision; the f64 parity path stays on the XLA kernels.
 
 Layout contract: ops/kinwave_packed.PackedSchedule (chunk-major packed
 position space). Per-pixel numerics identical to the sequential path
@@ -32,21 +44,33 @@ from jax.experimental.pallas import tpu as pltpu
 from .kinwave_packed import _newton_unrolled
 
 
+def _rnd(n, m):
+    return ((n + m - 1) // m) * m
+
+
 def build_substep_pallas(cfg, ps, beta, has, interpret=False):
     """Returns `run(xs) -> ys` executing the full sub-step loop.
 
     `xs`: dict of (n_chunks, C) float32 chunk-major operands (see
-    routing_ops.channel_routing_pipelined for the naming);
+    routing_ops.channel_routing_pipelined for the naming) plus, when
+    has['lakes']/has['reservoirs'], the structure operands documented in
+    routing_ops.channel_routing_pallas;
     `ys`: dict of (n_chunks, C) outputs (final-sub-step state rows plus
-    per-chunk accumulators)."""
+    per-chunk accumulators) and (1, NLp)/(1, NRp) structure-state rows."""
     T = cfg.no_rout_steps
     C = ps.chunk
     n_chunks = ps.n_chunks
     W = ps.window
     split = bool(has.get("split"))
+    lakes = bool(has.get("lakes"))
+    reservoirs = bool(has.get("reservoirs"))
     L = 2 if split else 1
     beta = float(beta)
+    dt_r = float(cfg.dt_routing)
     dtype = jnp.float32
+    NLp = _rnd(max(cfg.num_lakes, 1), 128) if lakes else 0
+    NRp = _rnd(max(cfg.num_reservoirs, 1), 128) if reservoirs else 0
+    Tp = _rnd(T + 1, 8)
 
     in_names = ["ToChan", "dx", "adx1", "alpha1", "ischan", "dl",
                 "q1_0", "m31_0", "chanq_0"]
@@ -56,11 +80,35 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
     for k in ("eva", "wuse", "qin_old", "qdelta", "uptrans", "tp1", "tp2", "tsub"):
         if has.get(k):
             in_names.append(k)
+
+    # structure operands: per-chunk blocked masks/lanes/feeders, SMEM
+    # skip-flags, and (1, Np) parameter/state rows (constant index maps)
+    lake_chunked = ["lk_on", "lk_lane", "lk_fee_lane", "lk_fee_w"]
+    lake_flags = ["lk_own_flag", "lk_fee_flag"]
+    lake_rows = ["lk_factor", "lk_factorsqr", "lk_area",
+                 "lk_st0", "lk_inold0", "lk_out0", "lk_bal0", "lk_buf0"]
+    res_chunked = ["rs_on", "rs_lane", "rs_fee_lane", "rs_fee_w"]
+    res_flags = ["rs_own_flag", "rs_fee_flag"]
+    res_rows = ["rs_tot", "rs_cons", "rs_norm", "rs_flood", "rs_nfl",
+                "rs_nondam", "rs_normout", "rs_minout", "rs_do", "rs_dln",
+                "rs_dnfl", "rs_st0", "rs_fill0", "rs_buf0"]
+    if lakes:
+        in_names += lake_chunked + lake_flags + lake_rows
+    if reservoirs:
+        in_names += res_chunked + res_flags + res_rows
+
     out_names = ["q1", "m31", "chanq", "sumdis"]
     if split:
         out_names += ["q2", "m32", "cross2", "side1"]
     if has.get("uptrans"):
         out_names.append("trans")
+    lake_outs = ["lk_st", "lk_inold", "lk_in", "lk_out", "lk_bal",
+                 "lk_level", "lk_sumin", "lk_sumout"]
+    res_outs = ["rs_st", "rs_fill", "rs_sumin", "rs_sumout"]
+    if lakes:
+        out_names += lake_outs
+    if reservoirs:
+        out_names += res_outs
 
     import sys
     if sys.getrecursionlimit() < 20000:
@@ -71,19 +119,166 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
     def kernel(*refs):
         ins = dict(zip(in_names, refs[: len(in_names)]))
         outs = dict(zip(out_names, refs[len(in_names): len(in_names) + len(out_names)]))
-        win, win2, Q = refs[len(in_names) + len(out_names):]
+        scratch = list(refs[len(in_names) + len(out_names):])
+        win, win2, Q = scratch[:3]
+        scratch = scratch[3:]
+        if lakes or reservoirs:
+            chanq_buf = scratch.pop(0)       # (Tp, C) per-chunk sub-step chanq
+            side_add = scratch.pop(0)        # (Tp, C) structure sideflow rows
+        if lakes:
+            buf_lake = scratch.pop(0)        # (Tp, NLp) inflow buffer
+            qout_lake = scratch.pop(0)       # (Tp, NLp) owner-chunk outflows
+        if reservoirs:
+            buf_res = scratch.pop(0)
+            qout_res = scratch.pop(0)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
             win[:] = jnp.zeros_like(win)
+            if lakes:
+                buf_lake[:] = jnp.zeros_like(buf_lake)
+                buf_lake[0:1, :] = ins["lk_buf0"][:]
+                for name in ("lk_st", "lk_inold", "lk_out", "lk_bal"):
+                    outs[name][:] = ins[name + "0"][:]
+                outs["lk_in"][:] = jnp.zeros((1, NLp), dtype)
+                outs["lk_level"][:] = jnp.zeros((1, NLp), dtype)
+                outs["lk_sumin"][:] = jnp.zeros((1, NLp), dtype)
+                outs["lk_sumout"][:] = jnp.zeros((1, NLp), dtype)
+            if reservoirs:
+                buf_res[:] = jnp.zeros_like(buf_res)
+                buf_res[0:1, :] = ins["rs_buf0"][:]
+                outs["rs_st"][:] = ins["rs_st0"][:]
+                outs["rs_fill"][:] = ins["rs_fill0"][:]
+                outs["rs_sumin"][:] = jnp.zeros((1, NRp), dtype)
+                outs["rs_sumout"][:] = jnp.zeros((1, NRp), dtype)
 
         for b in range(B):
             # keep every row access 2-D (1, C): 1-D sublane-indexed
             # vector reads are a known Mosaic hazard
-            x = {k: ins[k][b:b + 1] for k in in_names if k != "dl"}
+            x = {k: ins[k][b:b + 1] for k in in_names
+                 if k not in ("dl",) and not k.startswith(("lk_", "rs_"))}
             dl = ins["dl"][b:b + 1][0]
             inv_dx = 1.0 / x["dx"]
 
+            if lakes or reservoirs:
+                side_add[:] = jnp.zeros((Tp, C), dtype)
+
+            # ---- structure chains: hoisted ahead of the routing t-loop ----
+            # (the inflow buffers were completed by earlier feeder chunks)
+            if lakes:
+                @pl.when(ins["lk_own_flag"][pl.program_id(0) * B + b] == 1)
+                def _():
+                    on = ins["lk_on"][b:b + 1]                       # (1, NLp)
+                    lane_col = ins["lk_lane"][b * NLp:(b + 1) * NLp]  # (NLp, 1)
+                    st = outs["lk_st"][:]
+                    inold = outs["lk_inold"][:]
+                    outflow = outs["lk_out"][:]
+                    bal = outs["lk_bal"][:]
+                    inflow_last = outs["lk_in"][:]
+                    level = outs["lk_level"][:]
+                    sumin = outs["lk_sumin"][:]
+                    sumout = outs["lk_sumout"][:]
+                    for t in range(T):
+                        inflow = buf_lake[t:t + 1, :]
+                        # Modified Puls (lakes.py:199-263), mirror of
+                        # routing_ops._lake_substep_cc
+                        lake_in = (inflow + inold) * 0.5
+                        si = st / dt_r - 0.5 * outflow + lake_in
+                        out_new = jnp.square(
+                            -ins["lk_factor"][:] +
+                            jnp.sqrt(ins["lk_factorsqr"][:] + 2.0 * si))
+                        q_out_m3 = out_new * dt_r
+                        st_new = (si - out_new * 0.5) * dt_r
+                        st_new = jnp.where(jnp.isnan(st_new) | (st_new < 0), 0.0, st_new)
+                        bal_new = bal + lake_in * dt_r - q_out_m3
+                        qout_lake[t:t + 1, :] = jnp.where(on != 0, q_out_m3, 0.0)
+                        # masked commit: only lakes owned by this chunk advance
+                        sel = lambda a, b_: jnp.where(on != 0, a, b_)
+                        inold = sel(inflow, inold)
+                        inflow_last = sel(inflow, inflow_last)
+                        outflow = sel(out_new, outflow)
+                        st = sel(st_new, st)
+                        bal = sel(bal_new, bal)
+                        level = sel(st_new / ins["lk_area"][:], level)
+                        sumin = sel(sumin + inflow * dt_r, sumin)
+                        sumout = sel(sumout + q_out_m3, sumout)
+                    outs["lk_st"][:] = st
+                    outs["lk_inold"][:] = inold
+                    outs["lk_in"][:] = inflow_last
+                    outs["lk_out"][:] = outflow
+                    outs["lk_bal"][:] = bal
+                    outs["lk_level"][:] = level
+                    outs["lk_sumin"][:] = sumin
+                    outs["lk_sumout"][:] = sumout
+                    # scatter all T outflows into this chunk's sideflow rows:
+                    # row j of the selection operand is one-hot at the owned
+                    # lake's lane (lane == C for lakes owned elsewhere)
+                    sel_mat = (jax.lax.broadcasted_iota(jnp.int32, (NLp, C), 1)
+                               == lane_col).astype(dtype)
+                    side_add[0:Tp, :] = side_add[0:Tp, :] + jax.lax.dot(
+                        qout_lake[:], sel_mat,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=dtype)
+
+            if reservoirs:
+                @pl.when(ins["rs_own_flag"][pl.program_id(0) * B + b] == 1)
+                def _():
+                    on = ins["rs_on"][b:b + 1]
+                    lane_col = ins["rs_lane"][b * NRp:(b + 1) * NRp]
+                    st = outs["rs_st"][:]
+                    fill = outs["rs_fill"][:]
+                    sumin = outs["rs_sumin"][:]
+                    sumout = outs["rs_sumout"][:]
+                    inv_day = 1.0 / 86400.0
+                    total = ins["rs_tot"][:]
+                    for t in range(T):
+                        inflow = buf_res[t:t + 1, :]
+                        # rule-curve operation (reservoir.py:173-303), mirror
+                        # of routing_ops._reservoir_substep_cc
+                        q_in_m3 = inflow * dt_r
+                        st_new = st + q_in_m3
+                        f = st_new / total
+                        o1 = jnp.minimum(ins["rs_minout"][:], st_new * inv_day)
+                        o2 = (ins["rs_minout"][:] + ins["rs_do"][:]
+                              * (f - 2 * ins["rs_cons"][:]) / ins["rs_dln"][:])
+                        o3a = ins["rs_normout"][:]
+                        o3b = o3a + ((f - ins["rs_nfl"][:]) / ins["rs_dnfl"][:]) * (
+                            ins["rs_nondam"][:] - o3a)
+                        temp4 = jnp.minimum(ins["rs_nondam"][:],
+                                            jnp.maximum(inflow * 1.2, o3a))
+                        o4 = jnp.maximum((f - ins["rs_flood"][:] - 0.01) * total * inv_day, temp4)
+                        outflow = o1
+                        outflow = jnp.where(f > 2 * ins["rs_cons"][:], o2, outflow)
+                        outflow = jnp.where(f > ins["rs_norm"][:], o3a, outflow)
+                        outflow = jnp.where(f > ins["rs_nfl"][:], o3b, outflow)
+                        outflow = jnp.where(f > ins["rs_flood"][:], o4, outflow)
+                        temp = jnp.minimum(outflow, jnp.maximum(inflow, o3a))
+                        outflow = jnp.where((outflow > 1.2 * inflow) & (outflow > o3a)
+                                            & (f < ins["rs_flood"][:]), temp, outflow)
+                        q_out_m3 = outflow * dt_r
+                        q_out_m3 = jnp.minimum(q_out_m3, st_new)
+                        q_out_m3 = jnp.maximum(q_out_m3, st_new - total)
+                        st_new = st_new - q_out_m3
+                        f = st_new / total
+                        f = jnp.where(jnp.isnan(f) | (f < 0), 0.0, f)
+                        qout_res[t:t + 1, :] = jnp.where(on != 0, q_out_m3, 0.0)
+                        sel = lambda a, b_: jnp.where(on != 0, a, b_)
+                        st = sel(st_new, st)
+                        fill = sel(f, fill)
+                        sumin = sel(sumin + q_in_m3, sumin)
+                        sumout = sel(sumout + q_out_m3, sumout)
+                    outs["rs_st"][:] = st
+                    outs["rs_fill"][:] = fill
+                    outs["rs_sumin"][:] = sumin
+                    outs["rs_sumout"][:] = sumout
+                    sel_mat = (jax.lax.broadcasted_iota(jnp.int32, (NRp, C), 1)
+                               == lane_col).astype(dtype)
+                    side_add[0:Tp, :] = side_add[0:Tp, :] + jax.lax.dot(
+                        qout_res[:], sel_mat,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=dtype)
+
+            # ---- the routing sub-step loop ----
             def substep(t, carry):
                 # t is a PYTHON int (unrolled loop): all window/Q indices
                 # must be static — Mosaic requires 8-aligned dynamic
@@ -103,6 +298,8 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                     trans_loss_m3 = (chanq - trans_out) * cfg.dt_routing
                     sideflow_m3 = sideflow_m3 - trans_loss_m3
                     trans_acc = trans_acc + trans_loss_m3
+                if lakes or reservoirs:
+                    sideflow_m3 = sideflow_m3 + side_add[t:t + 1, :]
 
                 sideflow = jnp.where(x["ischan"] != 0,
                                      sideflow_m3 * inv_dx / cfg.dt_routing, 0.0)
@@ -140,6 +337,8 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                     cross2 = (m32 - x["chan2m3start"]) * inv_dx
                     chanq = jnp.maximum(q1 + q2 - x["qlimit"], 0.0)
                     side1 = sideflow1
+                if lakes or reservoirs:
+                    chanq_buf[t:t + 1, :] = chanq
                 sumdis = sumdis + chanq
                 return (q1, m31, chanq, q2, m32, cross2, side1, sumdis, trans_acc)
 
@@ -164,6 +363,38 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                 [win[:, C:], jnp.zeros((T * L, C), dtype)], axis=1) + add
             win[:] = win2[:]
 
+            # ---- feeder staging: this chunk's sub-step discharges feed
+            # downstream structures' inflow buffers (rows 1..T) ----
+            if lakes:
+                @pl.when(ins["lk_fee_flag"][pl.program_id(0) * B + b] == 1)
+                def _():
+                    fee_lane = ins["lk_fee_lane"][b * 8:(b + 1) * 8]   # (8, NLp)
+                    fee_w = ins["lk_fee_w"][b * 8:(b + 1) * 8]
+                    iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, NLp), 0)
+                    M = jnp.zeros((C, NLp), dtype)
+                    for k in range(8):
+                        M = M + (iota_c == fee_lane[k:k + 1, :]).astype(dtype) * fee_w[k:k + 1, :]
+                    contrib = jax.lax.dot(chanq_buf[:], M,
+                                          precision=jax.lax.Precision.HIGHEST,
+                                          preferred_element_type=dtype)   # (Tp, NLp)
+                    # rows 0..T-1 of chanq_buf are sub-steps 0..T-1; a
+                    # structure at sub-step t consumes buf row t (= feeder
+                    # discharge at t-1), so contributions land at rows 1..T
+                    buf_lake[1:Tp, :] = buf_lake[1:Tp, :] + contrib[0:Tp - 1, :]
+            if reservoirs:
+                @pl.when(ins["rs_fee_flag"][pl.program_id(0) * B + b] == 1)
+                def _():
+                    fee_lane = ins["rs_fee_lane"][b * 8:(b + 1) * 8]
+                    fee_w = ins["rs_fee_w"][b * 8:(b + 1) * 8]
+                    iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, NRp), 0)
+                    M = jnp.zeros((C, NRp), dtype)
+                    for k in range(8):
+                        M = M + (iota_c == fee_lane[k:k + 1, :]).astype(dtype) * fee_w[k:k + 1, :]
+                    contrib = jax.lax.dot(chanq_buf[:], M,
+                                          precision=jax.lax.Precision.HIGHEST,
+                                          preferred_element_type=dtype)
+                    buf_res[1:Tp, :] = buf_res[1:Tp, :] + contrib[0:Tp - 1, :]
+
             outs["q1"][b:b + 1] = q1
             outs["m31"][b:b + 1] = m31
             outs["chanq"][b:b + 1] = chanq
@@ -177,15 +408,76 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                 outs["trans"][b:b + 1] = trans_acc
 
     row_spec = pl.BlockSpec((B, C), lambda c: (c, 0), memory_space=pltpu.VMEM)
-    in_specs = [row_spec] * len(in_names)
-    out_specs = [row_spec] * len(out_names)
     n_pad = n_blocks * B
-    out_shape = [jax.ShapeDtypeStruct((n_pad, C), dtype) for _ in out_names]
+
+    def specs_for(names, Np):
+        sp, shapes = [], {}
+        for k in names:
+            if k.endswith("_on") or k.endswith("_fee_w"):
+                rows = 1 if k.endswith("_on") else 8
+                sp.append(pl.BlockSpec((B * rows, Np), lambda c: (c, 0),
+                                       memory_space=pltpu.VMEM))
+                shapes[k] = (n_pad * rows, Np)
+            elif k.endswith("_fee_lane"):
+                sp.append(pl.BlockSpec((B * 8, Np), lambda c: (c, 0),
+                                       memory_space=pltpu.VMEM))
+                shapes[k] = (n_pad * 8, Np)
+            elif k.endswith("_lane"):
+                sp.append(pl.BlockSpec((B * Np, 1), lambda c: (c, 0),
+                                       memory_space=pltpu.VMEM))
+                shapes[k] = (n_pad * Np, 1)
+            elif k.endswith("_flag"):
+                # rank-1 SMEM blocks must be whole-array (Mosaic tiling
+                # rule); indexed as [program_id*B + b] in the kernel
+                sp.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+                shapes[k] = (n_pad,)
+            else:   # (1, Np) parameter/state rows
+                sp.append(pl.BlockSpec((1, Np), lambda c: (0, 0),
+                                       memory_space=pltpu.VMEM))
+                shapes[k] = (1, Np)
+        return sp, shapes
+
+    base_names = [k for k in in_names if not k.startswith(("lk_", "rs_"))]
+    in_specs = [row_spec] * len(base_names)
+    struct_shapes = {}
+    if lakes:
+        sp, shp = specs_for(lake_chunked + lake_flags + lake_rows, NLp)
+        in_specs += sp
+        struct_shapes.update(shp)
+    if reservoirs:
+        sp, shp = specs_for(res_chunked + res_flags + res_rows, NRp)
+        in_specs += sp
+        struct_shapes.update(shp)
+
+    out_specs = []
+    out_shape = []
+    for k in out_names:
+        if k.startswith("lk_"):
+            out_specs.append(pl.BlockSpec((1, NLp), lambda c: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((1, NLp), dtype))
+        elif k.startswith("rs_"):
+            out_specs.append(pl.BlockSpec((1, NRp), lambda c: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((1, NRp), dtype))
+        else:
+            out_specs.append(row_spec)
+            out_shape.append(jax.ShapeDtypeStruct((n_pad, C), dtype))
+
     scratch_shapes = [
         pltpu.VMEM((T * L, W * C), dtype),     # rolling inflow window
         pltpu.VMEM((T * L, W * C), dtype),     # shift double-buffer
         pltpu.VMEM((T * L, C), dtype),         # collected sub-step q rows
     ]
+    if lakes or reservoirs:
+        scratch_shapes += [pltpu.VMEM((Tp, C), dtype),    # chanq rows
+                           pltpu.VMEM((Tp, C), dtype)]    # structure sideflow
+    if lakes:
+        scratch_shapes += [pltpu.VMEM((Tp, NLp), dtype),  # inflow buffer
+                           pltpu.VMEM((Tp, NLp), dtype)]  # owner outflows
+    if reservoirs:
+        scratch_shapes += [pltpu.VMEM((Tp, NRp), dtype),
+                           pltpu.VMEM((Tp, NRp), dtype)]
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -202,17 +494,30 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
         args = []
         for k in in_names:
             v = xs[k]
-            v = v.astype(jnp.int32) if k == "dl" else v.astype(dtype)
-            # pad the chunk axis to a full block; dl pads with the sentinel
-            # (no scatter), everything else with inert values
-            fill = W * C if k == "dl" else (1.0 if k in ("dx", "adx1", "alpha1",
-                                                         "adx2", "alpha2") else 0.0)
-            v = jnp.pad(v, ((0, n_pad - n_chunks), (0, 0)), constant_values=fill)
+            is_int = k == "dl" or k.endswith(("_lane", "_flag", "_fee_lane"))
+            v = v.astype(jnp.int32) if is_int else v.astype(dtype)
+            if k.startswith(("lk_", "rs_")):
+                shape = struct_shapes[k]
+                if v.shape != shape:
+                    # pad the leading (chunk-derived) axis; lanes pad with
+                    # the no-scatter sentinel C, everything else with 0
+                    fill = C if k.endswith("lane") else 0
+                    v = jnp.pad(v, ((0, shape[0] - v.shape[0]),) +
+                                ((0, 0),) * (v.ndim - 1), constant_values=fill)
+            else:
+                # pad the chunk axis to a full block; dl pads with the
+                # sentinel (no scatter), everything else with inert values
+                fill = W * C if k == "dl" else (1.0 if k in ("dx", "adx1", "alpha1",
+                                                             "adx2", "alpha2") else 0.0)
+                v = jnp.pad(v, ((0, n_pad - n_chunks), (0, 0)), constant_values=fill)
             args.append(v)
         # the framework enables x64 globally; Mosaic has no 64-bit types —
         # trace the kernel with 32-bit weak scalars and loop counters
         with jax.enable_x64(False):
             res = call(*args)
-        return {k: r[:n_chunks] for k, r in zip(out_names, res)}
+        out = {}
+        for k, r in zip(out_names, res):
+            out[k] = r if k.startswith(("lk_", "rs_")) else r[:n_chunks]
+        return out
 
     return run

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # reductions
@@ -234,8 +235,14 @@ def soil_columns_step(cfg, p, s, d):
     w1b = w1b + jnp.maximum(test_w1a - p["WS1a"], 0.0)
 
     # Darcy inter-layer seepage with per-pixel Courant sub-steps
-    # (soilloop.py:213-321); fixed-max masked loop replaces the
-    # data-dependent per-pixel trip counts
+    # (soilloop.py:213-321). Structure (settled by on-chip measurement,
+    # bench.py is the arbiter — isolated micro-timings of these pieces were
+    # repeatedly misleading): sub-step 0 runs loop-free for the whole grid
+    # (fuses with the surrounding ops); no_subs>1 lanes are compacted into
+    # a static-size buffer (top_k) and iterate there; a whole-grid masked
+    # loop remains as the compaction-overflow fallback (no_subs forced to
+    # 1 otherwise). Per-lane numerics are identical to the reference's
+    # per-pixel loop on every path (gated by tests/test_soil_courant.py).
     k1a0 = _unsat_conductivity(w1a, p["PoreSpaceNotZero1a"], p["WRes1a"], p["WS1a"], p["KSat1a"], p["GenuInvM1a"], p["GenuM1a"])
     k1b0 = _unsat_conductivity(w1b, p["PoreSpaceNotZero1b"], p["WRes1b"], p["WS1b"], p["KSat1b"], p["GenuInvM1b"], p["GenuM1b"])
     k20 = _unsat_conductivity(w2, p["PoreSpaceNotZero2"], p["WRes2"], p["WS2"], p["KSat2"], p["GenuInvM2"], p["GenuM2"])
@@ -246,42 +253,104 @@ def soil_columns_step(cfg, p, s, d):
     courant_b = jnp.where(aw1b == 0, 0.0, k1b0 * dt_day / jnp.where(aw1b == 0, 1.0, aw1b))
     courant_2 = jnp.where(aw2 == 0, 0.0, k20 * dt_day / jnp.where(aw2 == 0, 1.0, aw2))
     courant = jnp.maximum(jnp.maximum(courant_a, courant_b), courant_2)
-    no_subs = jnp.maximum(1, jnp.ceil(courant / p["CourantCrit"])).astype(jnp.int32)
-    no_subs = jnp.minimum(no_subs, cfg.max_soil_substeps)
-    dt_sub = dt_day / no_subs
+    no_subs_raw = jnp.maximum(1, jnp.ceil(courant / p["CourantCrit"])).astype(jnp.int32)
+    no_subs = jnp.minimum(no_subs_raw, cfg.max_soil_substeps)
+    # diagnostic: the safety cap silently truncates the physics when it
+    # binds (the reference's per-pixel loop is unbounded, soilloop.py:249);
+    # surfaced as a warning by the run drivers
+    cap_hit = jnp.any(no_subs_raw > cfg.max_soil_substeps)
+    # divide in the COMPUTE dtype: python-float / int32 promotes to f64
+    # under the global x64 flag, which silently ran the whole seepage chain
+    # in emulated float64 on TPU (measured 3x the f32 cost)
+    dt_sub = dt_day / no_subs.astype(courant.dtype)
     cap1 = p["WS1b"] - w1b
     cap2 = p["WS2"] - w2
-    max_subs = jnp.max(no_subs)
 
-    def cond(carry):
-        return carry[0] < max_subs
+    soil_keys = ("WRes1a", "WRes1b", "WRes2", "WS1a", "WS1b", "WS2",
+                 "KSat1a", "KSat1b", "KSat2", "GenuInvM1a", "GenuInvM1b",
+                 "GenuInvM2", "GenuM1a", "GenuM1b", "GenuM2",
+                 "PoreSpaceNotZero1a", "PoreSpaceNotZero1b", "PoreSpaceNotZero2")
 
-    def body(carry):
-        i, aw1a, aw1b, aw2, cap1, cap2, seep_a, seep_b, seep_gw = carry
-        active = i < no_subs
-        wt1a = aw1a + p["WRes1a"]
-        wt1b = aw1b + p["WRes1b"]
-        wt2 = aw2 + p["WRes2"]
-        k1a = jnp.where(i == 0, k1a0, _unsat_conductivity(wt1a, p["PoreSpaceNotZero1a"], p["WRes1a"], p["WS1a"], p["KSat1a"], p["GenuInvM1a"], p["GenuM1a"]))
-        k1b = jnp.where(i == 0, k1b0, _unsat_conductivity(wt1b, p["PoreSpaceNotZero1b"], p["WRes1b"], p["WS1b"], p["KSat1b"], p["GenuInvM1b"], p["GenuM1b"]))
-        k2 = jnp.where(i == 0, k20, _unsat_conductivity(wt2, p["PoreSpaceNotZero2"], p["WRes2"], p["WS2"], p["KSat2"], p["GenuInvM2"], p["GenuM2"]))
-        seep_a_sub = jnp.minimum(k1a * dt_sub, cap1)
-        seep_b_sub = jnp.minimum(k1b * dt_sub, cap2)
-        seep_gw_sub = jnp.minimum(k2 * dt_sub, aw2)
-        aw1a_n = aw1a - seep_a_sub
-        aw1b_n = aw1b + seep_a_sub - seep_b_sub
-        aw2_n = aw2 + seep_b_sub - seep_gw_sub
-        cap1_n = p["WS1b"] - (aw1b_n + p["WRes1b"])
-        cap2_n = p["WS2"] - (aw2_n + p["WRes2"])
-        sel = lambda n, o: jnp.where(active, n, o)
-        return (i + 1, sel(aw1a_n, aw1a), sel(aw1b_n, aw1b), sel(aw2_n, aw2),
-                sel(cap1_n, cap1), sel(cap2_n, cap2),
-                sel(seep_a + seep_a_sub, seep_a), sel(seep_b + seep_b_sub, seep_b),
-                sel(seep_gw + seep_gw_sub, seep_gw))
+    def tail_loop(aw1a_t, aw1b_t, aw2_t, sa_t, sb_t, sgw_t, ns_t, dtsub_t, q):
+        """Sub-steps 1..no_subs-1, masked per lane; identical update order
+        to the reference loop (caps recomputed from current storage each
+        sub-step, which equals the explicit cap carry of soilloop.py)."""
+        nmax = jnp.max(ns_t)
 
-    zero = jnp.zeros_like(w1a)
-    init = (jnp.int32(0), aw1a, aw1b, aw2, cap1, cap2, zero, zero, zero)
-    _, _, _, _, _, _, seep_a, seep_b, seep_gw = jax.lax.while_loop(cond, body, init)
+        def cond(c):
+            return c[0] < nmax
+
+        def body(c):
+            i, a1a, a1b, a2, sa, sb, sgw = c
+            active = i < ns_t
+            wt1a = a1a + q["WRes1a"]
+            wt1b = a1b + q["WRes1b"]
+            wt2 = a2 + q["WRes2"]
+            k1a = _unsat_conductivity(wt1a, q["PoreSpaceNotZero1a"], q["WRes1a"], q["WS1a"], q["KSat1a"], q["GenuInvM1a"], q["GenuM1a"])
+            k1b = _unsat_conductivity(wt1b, q["PoreSpaceNotZero1b"], q["WRes1b"], q["WS1b"], q["KSat1b"], q["GenuInvM1b"], q["GenuM1b"])
+            k2 = _unsat_conductivity(wt2, q["PoreSpaceNotZero2"], q["WRes2"], q["WS2"], q["KSat2"], q["GenuInvM2"], q["GenuM2"])
+            s_a = jnp.minimum(k1a * dtsub_t, q["WS1b"] - wt1b)
+            s_b = jnp.minimum(k1b * dtsub_t, q["WS2"] - wt2)
+            s_g = jnp.minimum(k2 * dtsub_t, a2)
+            sel = lambda n, o: jnp.where(active, n, o)
+            return (i + 1, sel(a1a - s_a, a1a), sel(a1b + s_a - s_b, a1b),
+                    sel(a2 + s_b - s_g, a2),
+                    sel(sa + s_a, sa), sel(sb + s_b, sb), sel(sgw + s_g, sgw))
+
+        out = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), aw1a_t, aw1b_t, aw2_t, sa_t, sb_t, sgw_t))
+        return out[4], out[5], out[6]
+
+    # sub-step 0, whole grid, loop-free (reuses the Courant conductivities)
+    seep_a = jnp.minimum(k1a0 * dt_sub, cap1)
+    seep_b = jnp.minimum(k1b0 * dt_sub, cap2)
+    seep_gw = jnp.minimum(k20 * dt_sub, aw2)
+    aw1a_1 = aw1a - seep_a
+    aw1b_1 = aw1b + seep_a - seep_b
+    aw2_1 = aw2 + seep_b - seep_gw
+
+    multi = no_subs > 1
+    n_multi = multi.sum()
+    n_lanes = int(np.prod(no_subs.shape))
+    # M = n/64: measured fastest full-step configuration on the real chip
+    # (n/8 avoids overflow in wet conditions but benches 90 ms/step slower
+    # end-to-end; the where-merged fallback keeps overflow steps correct)
+    M = min(n_lanes, max(1024, n_lanes // 64))
+    # compaction via top_k, not jnp.nonzero: the nonzero/cumsum lowering
+    # spills scoped VMEM inside lax.scan on TPU (reduce-window pad-127
+    # pattern); top_k over a 0/1 key selects every multi lane while
+    # count <= M (ties broken by index, so fill slots replay lane 0's
+    # neighbourhood harmlessly — see below)
+    idx = jax.lax.top_k(multi.reshape(-1).astype(jnp.int32), M)[1]
+    bcast = lambda x: jnp.broadcast_to(x, no_subs.shape).reshape(-1)
+    g = lambda x: bcast(x)[idx]
+    qc = {k: g(p[k]) for k in soil_keys}
+    # top_k indices are distinct; slots holding non-multi lanes have
+    # no_subs == 1, so their tail loop is masked to a no-op and the
+    # scatter below writes back their unchanged sub-step-0 value — no
+    # validity masking needed
+    sa_c, sb_c, sgw_c = tail_loop(g(aw1a_1), g(aw1b_1), g(aw2_1),
+                                  g(seep_a), g(seep_b), g(seep_gw),
+                                  g(no_subs), g(dt_sub), qc)
+    shape = no_subs.shape
+    scat = lambda full, comp: full.reshape(-1).at[idx].set(comp).reshape(shape)
+    seep_a_c = scat(seep_a, sa_c)
+    seep_b_c = scat(seep_b, sb_c)
+    seep_gw_c = scat(seep_gw, sgw_c)
+
+    # overflow fallback: if more than M lanes need sub-stepping, rerun the
+    # tail masked over the WHOLE grid (no_subs forced to 1 otherwise, so
+    # the while_loop body executes zero times and costs only its carry
+    # setup). NOT lax.cond: XLA converts the cond to a both-branches
+    # select here and the 'skipped' full-grid loop runs for real
+    # (measured +45 ms at continental scale).
+    overflow = n_multi > M
+    ns_eff = jnp.where(overflow, no_subs, 1)
+    sa_f, sb_f, sgw_f = tail_loop(aw1a_1, aw1b_1, aw2_1,
+                                  seep_a, seep_b, seep_gw, ns_eff, dt_sub, p)
+    seep_a = jnp.where(overflow, sa_f, seep_a_c)
+    seep_b = jnp.where(overflow, sb_f, seep_b_c)
+    seep_gw = jnp.where(overflow, sgw_f, seep_gw_c)
 
     seep_a = jnp.where(frozen, 0.0, seep_a)
     seep_b = jnp.where(frozen, 0.0, seep_b)
@@ -318,6 +387,7 @@ def soil_columns_step(cfg, p, s, d):
         "SeepTopToSubA": seep_a, "SeepTopToSubB": seep_b, "SeepSubToGW": seep_gw,
         "Theta1a": theta1a, "Theta1b": theta1b, "Theta2": theta2,
         "UZOutflow": uz_outflow, "GwPercUZLZ": gw_perc_uzlz,
+        "SoilCourantCapHit": cap_hit,
     }
 
 

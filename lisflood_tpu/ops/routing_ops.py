@@ -156,18 +156,26 @@ def channel_routing(cfg, p, s, d, routers):
     packed = "kinp$ChanLength" in p and hasattr(kin, "route_packed")
     structs = ((cfg.simulate_lakes or cfg.simulate_reservoirs)
                and not cfg.init_lisflood)
-    # Mosaic has no f64: the pallas path requires a float32 run (Precision=
-    # single). A Precision=double run asking for RoutingPipeline=pallas falls
-    # back to the XLA pipelined path instead of silently degrading to f32.
-    if (packed and cfg.routing_pipeline == "pallas" and cfg.no_rout_steps > 1
-            and dtype == jnp.float32 and not structs
-            and not getattr(kin, "no_edges", True)
-            and getattr(kin.ps, "n_shards", 1) == 1):
+    # Pipeline dispatch. 'auto' picks the fastest equivalence-gated path for
+    # this configuration: the fused Mosaic kernel when it applies (float32 —
+    # Mosaic has no f64, and a Precision=double run must not silently
+    # degrade — on a real TPU; interpret mode is only for explicit
+    # RoutingPipeline=pallas testing), else the wavefront-pipelined diagonal
+    # loop, else the sequential sub-step scan.
+    pipelineable = (packed and cfg.no_rout_steps > 1
+                    and not getattr(kin, "no_edges", True)
+                    and getattr(kin.ps, "n_shards", 1) == 1
+                    and (not structs
+                         or getattr(kin, "struct_feeders_earlier", False)))
+    can_pallas = pipelineable and dtype == jnp.float32
+    pipeline = cfg.routing_pipeline
+    if pipeline == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        pipeline = ("pallas" if can_pallas and on_tpu
+                    else ("diagonal" if pipelineable else "substeps"))
+    if pipeline == "pallas" and can_pallas:
         return channel_routing_pallas(cfg, p, s, d, routers)
-    if (packed and cfg.routing_pipeline in ("diagonal", "pallas")
-            and cfg.no_rout_steps > 1
-            and not getattr(kin, "no_edges", True)
-            and getattr(kin.ps, "n_shards", 1) == 1):
+    if pipeline in ("diagonal", "pallas") and pipelineable:
         return channel_routing_pipelined(cfg, p, s, d, routers)
     if packed:
         pk = lambda name: p["kinp$" + name]
@@ -731,12 +739,13 @@ def channel_routing_pipelined(cfg, p, s, d, routers):
 
 
 def channel_routing_pallas(cfg, p, s, d, routers):
-    """Sub-step loop on the fused Mosaic kernel (ops/kinwave_pallas.py).
+    """Sub-step loop on the fused Mosaic kernel (ops/kinwave_pallas.py),
+    structures included.
 
-    Selected by RoutingPipeline=pallas for float32 runs without
-    lakes/reservoirs (those configurations fall back to the XLA paths —
-    channel_routing dispatches accordingly)."""
-    from .kinwave_pallas import build_substep_pallas
+    Selected by RoutingPipeline=pallas (or auto on TPU) for float32 runs;
+    f64 parity runs fall back to the XLA paths — channel_routing
+    dispatches accordingly."""
+    from .kinwave_pallas import build_substep_pallas, _rnd
 
     dtype = s["ChanQKin"].dtype
     kin = routers["kin"]
@@ -748,6 +757,8 @@ def channel_routing_pallas(cfg, p, s, d, routers):
     C = ps.chunk
     n_chunks = ps.n_chunks
     split = cfg.split_routing and not cfg.init_lisflood
+    lakes = cfg.simulate_lakes and not cfg.init_lisflood
+    reservoirs = cfg.simulate_reservoirs and not cfg.init_lisflood
 
     c2 = lambda x: x.reshape(n_chunks, C)
     xs = {
@@ -791,6 +802,84 @@ def channel_routing_pallas(cfg, p, s, d, routers):
         xs["tsub"] = c2(pk("TransSub"))
         has["uptrans"] = True
 
+    f32 = jnp.float32
+
+    def struct_operands(prefix, pos, ups_idx, ups_w, n, Np):
+        """Per-chunk ownership mask / outlet lane / feeder lane+weight
+        operands for one structure family, lane-padded to Np (see
+        kinwave_pallas module docstring for the layout contract)."""
+        chunk_of = pos // C
+        lane_of = pos % C
+        cids = jnp.arange(n_chunks, dtype=jnp.int32)
+        on = chunk_of[None, :] == cids[:, None]                  # (n_chunks, n)
+        lane = jnp.where(on, lane_of[None, :], C).astype(jnp.int32)
+        ups_chunk = ups_idx // C                                 # (n, 8)
+        ups_lane = ups_idx % C
+        in_chunk = ups_chunk[None] == cids[:, None, None]        # (n_chunks, n, 8)
+        fee_lane = jnp.where(in_chunk, ups_lane[None], C).astype(jnp.int32)
+        fee_w = jnp.where(in_chunk, ups_w[None].astype(f32), 0.0)
+        fee_lane = fee_lane.transpose(0, 2, 1)                   # (n_chunks, 8, n)
+        fee_w = fee_w.transpose(0, 2, 1)
+        padn = Np - n
+        out = {
+            prefix + "_on": jnp.pad(on.astype(f32), ((0, 0), (0, padn))),
+            prefix + "_lane": jnp.pad(lane, ((0, 0), (0, padn)),
+                                      constant_values=C).reshape(n_chunks * Np, 1),
+            prefix + "_fee_lane": jnp.pad(fee_lane, ((0, 0), (0, 0), (0, padn)),
+                                          constant_values=C).reshape(n_chunks * 8, Np),
+            prefix + "_fee_w": jnp.pad(fee_w, ((0, 0), (0, 0), (0, padn))
+                                       ).reshape(n_chunks * 8, Np),
+            prefix + "_own_flag": on.any(1).astype(jnp.int32),
+            prefix + "_fee_flag": in_chunk.any((1, 2)).astype(jnp.int32),
+        }
+        return out
+
+    def row(vec, n, Np, fill=0.0):
+        return jnp.pad(jnp.asarray(vec, f32), (0, Np - n),
+                       constant_values=fill).reshape(1, Np)
+
+    if lakes:
+        from .kinwave_pallas import _rnd as _rnd_  # noqa: F401 (doc anchor)
+        has["lakes"] = True
+        nl = cfg.num_lakes
+        NLp = _rnd(max(nl, 1), 128)
+        xs.update(struct_operands("lk", pk("LakePos"), pk("LakeUpsIdx"),
+                                  pk("LakeUpsW"), nl, NLp))
+        xs.update({
+            "lk_factor": row(p["LakeFactor"], nl, NLp, 1.0),
+            "lk_factorsqr": row(p["LakeFactorSqr"], nl, NLp, 1.0),
+            "lk_area": row(p["LakeAreaCC"], nl, NLp, 1.0),
+            "lk_st0": row(s["LakeStorageM3CC"], nl, NLp),
+            "lk_inold0": row(s["LakeInflowOldCC"], nl, NLp),
+            "lk_out0": row(s["LakeOutflowCC"], nl, NLp),
+            "lk_bal0": row(s["LakeStorageM3BalanceCC"], nl, NLp),
+            "lk_buf0": row((pack(s["ChanQ"])[pk("LakeUpsIdx")]
+                            * pk("LakeUpsW")).sum(1), nl, NLp),
+        })
+    if reservoirs:
+        has["reservoirs"] = True
+        nr = cfg.num_reservoirs
+        NRp = _rnd(max(nr, 1), 128)
+        xs.update(struct_operands("rs", pk("ResPos"), pk("ResUpsIdx"),
+                                  pk("ResUpsW"), nr, NRp))
+        xs.update({
+            "rs_tot": row(p["TotalReservoirStorageM3CC"], nr, NRp, 1.0),
+            "rs_cons": row(p["ConservativeStorageLimitCC"], nr, NRp),
+            "rs_norm": row(p["NormalStorageLimitCC"], nr, NRp),
+            "rs_flood": row(p["FloodStorageLimitCC"], nr, NRp),
+            "rs_nfl": row(p["Normal_FloodStorageLimitCC"], nr, NRp),
+            "rs_nondam": row(p["NonDamagingReservoirOutflowCC"], nr, NRp),
+            "rs_normout": row(p["NormalReservoirOutflowCC"], nr, NRp),
+            "rs_minout": row(p["MinReservoirOutflowCC"], nr, NRp),
+            "rs_do": row(p["DeltaO"], nr, NRp),
+            "rs_dln": row(p["DeltaLN"], nr, NRp, 1.0),
+            "rs_dnfl": row(p["DeltaNFL"], nr, NRp, 1.0),
+            "rs_st0": row(s["ReservoirStorageM3CC"], nr, NRp),
+            "rs_fill0": row(s["ReservoirFillCC"], nr, NRp),
+            "rs_buf0": row((pack(s["ChanQ"])[pk("ResUpsIdx")]
+                            * pk("ResUpsW")).sum(1), nr, NRp),
+        })
+
     interpret = jax.devices()[0].platform != "tpu"
     run = build_substep_pallas(cfg, ps, float(p["Beta"]), has, interpret=interpret)
     ys = run(xs)
@@ -823,4 +912,16 @@ def channel_routing_pallas(cfg, p, s, d, routers):
             added = added - T * ct(d["withdrawal_CH_actual_M3_routStep"]
                                    - d["returnflow_GwAbs2Channel_M3_routStep"])
         out_carry["AddedTRUN"] = added
+    if lakes:
+        take = lambda k: ys[k][0, :cfg.num_lakes].astype(dtype)
+        out_carry.update({
+            "LakeStorageM3CC": take("lk_st"), "LakeInflowOldCC": take("lk_inold"),
+            "LakeInflowCC": take("lk_in"), "LakeOutflowCC": take("lk_out"),
+            "LakeStorageM3BalanceCC": take("lk_bal"), "LakeLevelCC": take("lk_level"),
+            "sumLakeInCC": take("lk_sumin"), "sumLakeOutCC": take("lk_sumout")})
+    if reservoirs:
+        take = lambda k: ys[k][0, :cfg.num_reservoirs].astype(dtype)
+        out_carry.update({
+            "ReservoirStorageM3CC": take("rs_st"), "ReservoirFillCC": take("rs_fill"),
+            "sumResInCC": take("rs_sumin"), "sumResOutCC": take("rs_sumout")})
     return _post_routing(cfg, p, s, d, out_carry, dtype)

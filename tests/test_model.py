@@ -97,6 +97,10 @@ def test_routing_kernels_equivalent_full_model(tmp_path):
                           opts_to_unset=("wateruse", "riceIrrigation", "groundwaterSmooth"),
                           vars_to_set=v)
         s.binding["RoutingKernel"] = kernel
+        # pin the sub-step pipeline so this test isolates the KERNEL
+        # variable (pipeline equivalence is gated separately by
+        # test_pipelined_routing_equivalent and test_pallas_routing)
+        s.binding["RoutingPipeline"] = "substeps"
         if kernel == "sharded":
             s.binding["RoutingShards"] = "4"
         with warnings.catch_warnings():
