@@ -129,6 +129,28 @@ class Settings:
     def settings_dir(self):
         return os.path.dirname(self.settings_path)
 
+    def for_subdir(self, name):
+        """Settings clone whose output paths land in <output_dir>/<name>/ —
+        the per-sample directories of the reference MonteCarloFramework
+        (each sample reports its maps/TSS into PathOut/<sample>/;
+        reference main.py:98-115, Lisflood_monteCarlo.py:24-44)."""
+        import copy
+
+        out = os.path.normpath(self.output_dir)
+        sub = os.path.join(out, str(name))
+        new = copy.copy(self)
+        new.binding = dict(self.binding)
+        new.user = dict(self.user)
+        for k, v in self.binding.items():
+            if isinstance(v, str):
+                vn = os.path.normpath(v)
+                if vn == out or vn.startswith(out + os.sep):
+                    new.binding[k] = os.path.join(sub, os.path.relpath(vn, out)) \
+                        if vn != out else sub
+        if "PathOut" in new.user:
+            new.user["PathOut"] = sub
+        return new
+
 
 def load_settings(settings_file, sys_args=(), opts_to_set=(), opts_to_unset=(), vars_to_set=None) -> Settings:
     """Parse a LISFLOOD XML settings file into a Settings value.

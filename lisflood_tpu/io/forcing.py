@@ -181,6 +181,81 @@ class ForcingReader:
         self.nc.close()
 
 
+class CsfStackReader:
+    """PCRaster numbered-map forcing stack (reference readmapsparse,
+    add1.py:629-660): the binding is a name prefix and each model step
+    reads `<prefix8.3-numbered>` (generateName semantics, add1.py:858-889).
+    'Sparse' semantics: a step whose map file is absent reuses the most
+    recently available map (the reference keeps the previous array).
+    Interface-compatible with ForcingReader (`reader[offset]` -> (P,))."""
+
+    def __init__(self, prefix, grid, dates, first_step=1, dtype=np.float64,
+                 **_ignored):
+        self.grid = grid
+        self.dtype = dtype
+        self.prefix = str(prefix)
+        self.first = int(first_step)
+        self._last = None
+        self._cache = {}
+
+    def path_for_step(self, step):
+        import os
+        head, tail = os.path.split(self.prefix)
+        nr = str(int(step))
+        tail = tail[:8]
+        space = 11 - (len(tail) + len(nr))
+        result = f"{tail}{'0' * space}{nr}"
+        return os.path.join(head, f"{result[:8]}.{result[8:]}")
+
+    def _read(self, step):
+        import os
+        from . import csf
+        path = self.path_for_step(step)
+        if not os.path.exists(path):
+            if self._last is None:
+                raise LisfloodError(
+                    f"PCRaster forcing stack {self.prefix!r}: no map for "
+                    f"step {step} ({path}) and no earlier map to reuse")
+            return self._last
+        m = csf.read_map(path)
+        data = np.asarray(m.data, np.float64)
+        data[m.mv_mask] = np.nan
+        vec = self.grid.compress(data).astype(self.dtype)
+        if np.isnan(vec).any():
+            raise LisfloodError(
+                f"Missing values inside mask map in {path}")
+        self._last = vec
+        return vec
+
+    def __getitem__(self, step_offset):
+        step = self.first + step_offset
+        if step not in self._cache:
+            # bounded cache: sparse reuse means many offsets share arrays
+            if len(self._cache) > 64:
+                self._cache.clear()
+            self._cache[step] = self._read(step)
+        return self._cache[step]
+
+    def close(self):
+        pass
+
+
+def open_forcing_stack(path, grid, dates, first_step=1, **kwargs):
+    """Open a forcing stack: netCDF when the .nc file exists, otherwise a
+    PCRaster numbered-map stack when its first map exists (the reference's
+    readmeteodata netCDF-vs-readmapsparse dispatch, readmeteo.py +
+    add1.py:629-660)."""
+    import os
+    nc_path = path if str(path).endswith(".nc") else os.path.splitext(str(path))[0] + ".nc"
+    if os.path.exists(nc_path):
+        return ForcingReader(path, grid, dates, **kwargs)
+    probe = CsfStackReader(path, grid, dates, first_step=first_step)
+    if os.path.exists(probe.path_for_step(first_step)):
+        return probe
+    # neither exists: fall through to the netCDF reader for its error path
+    return ForcingReader(path, grid, dates, **kwargs)
+
+
 def _map_dates_index(dates, file_dates, indexer, climatology):
     """Model-step date -> file time index (reference netcdf.py:153-167)."""
     if climatology:

@@ -35,11 +35,18 @@ def read_tss_header(path):
 
 
 class TssWriter:
-    """Accumulates per-step sampled values; writes the whole file at the end
-    of the run (matching the reference's behaviour of rewriting the file
-    from its in-memory buffer every reporting step)."""
+    """Progressive .tss writer: the file on disk is kept current as rows
+    arrive (the reference rewrites the file from its in-memory buffer
+    every reporting step, zusatz.py:196-400), so a crash at step N loses
+    at most the rows of one flush interval instead of the whole run.
 
-    def __init__(self, path, ids, settings_path="", first_step=1, write_header=True):
+    Rows normally arrive with increasing step numbers and are APPENDED
+    incrementally (re-flushing every `flush_every` samples and at
+    close-time `flush()`); an out-of-order or overwritten step falls back
+    to a full rewrite, preserving exact reference file layout."""
+
+    def __init__(self, path, ids, settings_path="", first_step=1, write_header=True,
+                 flush_every=16):
         self.path = str(path)
         if not self.path.endswith(".tss"):
             self.path += ".tss"
@@ -47,23 +54,53 @@ class TssWriter:
         self.settings_path = settings_path
         self.first_step = first_step
         self.write_header = write_header
+        self.flush_every = int(flush_every)
         self.rows = {}
+        self._written_through = None   # highest step already on disk
+        self._header_done = False
+        self._pending = 0
 
     def sample(self, step, values):
-        self.rows[int(step)] = np.atleast_1d(np.asarray(values, dtype=np.float64))
+        step = int(step)
+        self.rows[step] = np.atleast_1d(np.asarray(values, dtype=np.float64))
+        if self._written_through is not None and step <= self._written_through:
+            # rewrite path: a step already on disk changed
+            self._written_through = None
+            self._header_done = False
+        self._pending += 1
+        if self._pending >= self.flush_every:
+            self.flush()
+
+    def _format_row(self, step):
+        row = " %8g" % step
+        for v in self.rows[step]:
+            row += "           1e31" if np.isnan(v) else " %14g" % v
+        return row + "\n"
+
+    def _write_header(self, f):
+        if self.write_header:
+            f.write(
+                "timeseries scalar settingsfile: {} date: {}\n".format(
+                    self.settings_path, _time.ctime()))
+            f.write(f"{len(self.ids) + 1}\n")
+            f.write("timestep\n")
+            for gid in self.ids:
+                f.write(f"{gid}\n")
 
     def flush(self):
-        with open(self.path, "w") as f:
-            if self.write_header:
-                f.write(
-                    "timeseries scalar settingsfile: {} date: {}\n".format(
-                        self.settings_path, _time.ctime()))
-                f.write(f"{len(self.ids) + 1}\n")
-                f.write("timestep\n")
-                for gid in self.ids:
-                    f.write(f"{gid}\n")
-            for step in sorted(self.rows):
-                row = " %8g" % step
-                for v in self.rows[step]:
-                    row += "           1e31" if np.isnan(v) else " %14g" % v
-                f.write(row + "\n")
+        self._pending = 0
+        steps = sorted(self.rows)
+        if self._written_through is None or not self._header_done:
+            with open(self.path, "w") as f:
+                self._write_header(f)
+                for step in steps:
+                    f.write(self._format_row(step))
+        else:
+            new = [s for s in steps if s > self._written_through]
+            if not new:
+                return
+            with open(self.path, "a") as f:
+                for step in new:
+                    f.write(self._format_row(step))
+        self._header_done = True
+        self._written_through = steps[-1] if steps else self._written_through

@@ -16,7 +16,7 @@ import time as _time
 import numpy as np
 
 from ..config.calendar import parse_date_or_step
-from ..io.forcing import ForcingReader, run_dates
+from ..io.forcing import ForcingReader, open_forcing_stack, run_dates
 from ..io import ncdf
 from ..io.tss import TssWriter
 from ..io.csf import write_map, VS_SCALAR
@@ -467,8 +467,11 @@ class LisfloodRunner:
         self.forcings = {}
         for key, name in [("Precipitation", "PrecipitationMaps"), ("Tavg", "TavgMaps"),
                           ("ETRef", "ET0Maps"), ("EWRef", "E0Maps")]:
-            self.forcings[key] = ForcingReader(binding[name], self.grid, dates,
-                                               skip_valid_replace=skip_val)
+            # netCDF stack, or PCRaster numbered-map stack (readmapsparse)
+            self.forcings[key] = open_forcing_stack(
+                binding[name], self.grid, dates,
+                first_step=settings.step_start_int,
+                skip_valid_replace=skip_val)
         self.demand = {}
         if self.config.water_use and self.config.transient_water_demand:
             for key, name in [("DomesticDemandMM", "DomesticDemandMaps"),
@@ -558,6 +561,19 @@ class LisfloodRunner:
                     f[key] = jnp.asarray(self.params[key])
         return f
 
+    def _warn_soil_cap(self, hit):
+        """One-shot warning when the Courant safety cap truncated soil
+        sub-stepping (the reference's per-pixel loop is unbounded,
+        soilloop.py:249)."""
+        if hit and not getattr(self, "_soil_cap_warned", False):
+            self._soil_cap_warned = True
+            import warnings
+            from ..utils.errors import LisfloodWarning
+            warnings.warn(LisfloodWarning(
+                f"soil Courant sub-step count exceeded the safety cap "
+                f"(max_soil_substeps={self.config.max_soil_substeps}); "
+                f"inter-layer seepage was truncated on some pixels"))
+
     def run_scanned(self, chunk_steps=16, progress=False, max_steps=None):
         """Scanned run: batches of `chunk_steps` model steps execute as one
         device program (lax.scan), amortizing host<->device latency."""
@@ -565,7 +581,7 @@ class LisfloodRunner:
         from .step import build_multi_step
 
         settings = self.settings
-        needed = sorted(self.outputs.needed_fields())
+        needed = sorted(self.outputs.needed_fields() | {"SoilCourantCapHit"})
         multi, _ = build_multi_step(self.config, self.params_np, self.aux, output_keys=needed)
         start = settings.step_start_int
         end = settings.step_end_int
@@ -580,6 +596,7 @@ class LisfloodRunner:
             stack = {key: jnp.stack([f[key] for f in fs]) for key in fs[0]}
             state, outs = multi(state, stack)
             outs = {key: np.asarray(v) for key, v in outs.items()}
+            self._warn_soil_cap(bool(outs["SoilCourantCapHit"].any()))
             for i in range(k):
                 step = start + offset + i
                 date = self.dates[offset + i]
@@ -650,6 +667,7 @@ class LisfloodRunner:
             date = self.dates[offset]
             f = self.forcing_for(offset, date)
             self.state, diag = self.step_fn(self.state, f)
+            self._warn_soil_cap(bool(np.asarray(diag["SoilCourantCapHit"])))
             # month/year end flags: only meaningful when wateruse+indicator
             # are both active (reference quirk, indicatorcalc.py:92-96)
             monthend = yearend = False
@@ -716,6 +734,12 @@ def lisfloodexe(settings):
     if (mc_set or enkf_set) and settings.ens_members > 1:
         from .ensemble import run_from_settings
         run_from_settings(runner, settings)
-    else:
+    elif flags.get("loud") or flags.get("debug"):
+        # per-step diagnostics need host visibility of every step
         runner.run(progress=not settings.flags.get("veryquiet"))
+    else:
+        # production path: chunks of steps execute as one device program
+        # (reference runs its production DynamicFramework loop by default,
+        # main.py:157; here the scanned driver is the production loop)
+        runner.run_scanned(progress=not settings.flags.get("veryquiet"))
     return runner

@@ -40,10 +40,17 @@ def perturb_state(key, state, fields, sigma=0.05, min_val=0.0):
 
 
 class EnsembleRunner:
-    """Vmapped ensemble of model instances sharing parameters/forcing."""
+    """Vmapped ensemble of model instances sharing parameters/forcing.
+
+    With `with_outputs=True`, each member reports its maps/TSS through its
+    own OutputManager into the per-sample directory PathOut/<member>/ —
+    the reference MonteCarloFramework layout (main.py:98-115,
+    Lisflood_monteCarlo.py:24-44: each sample's DynamicFramework writes
+    into its numbered sample directory)."""
 
     def __init__(self, runner, n_members, seed=0,
-                 perturb_fields=("UZ", "LZ", "W1a", "W1b", "W2"), sigma=0.05):
+                 perturb_fields=("UZ", "LZ", "W1a", "W1b", "W2"), sigma=0.05,
+                 with_outputs=False):
         self.runner = runner
         self.n = n_members
         base_state = runner.state
@@ -51,13 +58,43 @@ class EnsembleRunner:
         members = [perturb_state(k, base_state, perturb_fields, sigma) for k in keys]
         self.state = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
         self.vstep = jax.jit(jax.vmap(runner.step_fn, in_axes=(0, None)))
+        self.outputs = self._make_outputs() if with_outputs else None
+
+    def _make_outputs(self):
+        import os
+        from .driver import OutputManager
+
+        managers = []
+        for m in range(self.n):
+            s_m = self.runner.settings.for_subdir(str(m + 1))
+            os.makedirs(s_m.output_dir, exist_ok=True)
+            managers.append(OutputManager(s_m, self.runner.grid,
+                                          self.runner.params_np,
+                                          self.runner.aux, self.runner.config))
+        self._needed = sorted(managers[0].needed_fields()) if managers else []
+        return managers
 
     def advance(self, offset_range):
-        """Advance all members over the given step offsets."""
+        """Advance all members over the given step offsets, reporting
+        per-member outputs when configured."""
+        runner = self.runner
+        start = runner.settings.step_start_int
+        end = runner.settings.step_end_int
         for offset in offset_range:
-            f = self.runner.forcing_for(offset, self.runner.dates[offset])
+            date = runner.dates[offset]
+            f = runner.forcing_for(offset, date)
             self.state, diag = self.vstep(self.state, f)
+            if self.outputs:
+                step = start + offset
+                host = {k: np.asarray(diag[k]) for k in self._needed if k in diag}
+                for m, man in enumerate(self.outputs):
+                    diag_m = {k: v[m] for k, v in host.items()}
+                    man.report(step, date, diag_m, is_last=(step == end))
         return self.state, diag
+
+    def close_outputs(self):
+        for man in self.outputs or ():
+            man.close()
 
     # ------------------------------------------------------------------
     def enkf_analysis(self, obs_values, obs_pixels, obs_sigma,
@@ -135,7 +172,8 @@ def run_from_settings(runner, settings, seed=0):
     deterministic stand-in that exercises the same machinery."""
     import os
 
-    ens = EnsembleRunner(runner, settings.ens_members, seed=seed)
+    ens = EnsembleRunner(runner, settings.ens_members, seed=seed,
+                         with_outputs=True)
     start = settings.step_start_int
     end = settings.step_end_int
     n_steps = end - start + 1
@@ -157,15 +195,17 @@ def run_from_settings(runner, settings, seed=0):
         prev = off
     if prev < n_steps:
         ens.advance(range(prev, n_steps))
+    ens.close_outputs()
     return ens
 
 
-def run_montecarlo(runner, n_members, seed=0, max_steps=None):
+def run_montecarlo(runner, n_members, seed=0, max_steps=None, with_outputs=False):
     """Monte Carlo run: perturbed ensemble advanced to the end; returns the
     stacked final states (main.py:98-106 analogue, vmapped not forked)."""
-    ens = EnsembleRunner(runner, n_members, seed=seed)
+    ens = EnsembleRunner(runner, n_members, seed=seed, with_outputs=with_outputs)
     n = runner.settings.step_end_int - runner.settings.step_start_int + 1
     if max_steps is not None:
         n = min(n, max_steps)
     ens.advance(range(n))
+    ens.close_outputs()
     return ens

@@ -51,6 +51,45 @@ def test_montecarlo_vmapped(runner, tmp_path):
 
 
 @pytest.mark.slow
+def test_montecarlo_per_member_outputs(tmp_path):
+    """Each ensemble member reports its own dis.tss + end maps into the
+    numbered per-sample directory (reference MonteCarloFramework layout,
+    main.py:98-115, Lisflood_monteCarlo.py:24-44), and the member series
+    differ (perturbed initial storages)."""
+    import warnings
+    from lisflood_tpu.models.driver import LisfloodRunner
+    from lisflood_tpu.models.ensemble import run_montecarlo
+    from lisflood_tpu.io.tss import read_tss
+
+    out = tmp_path / "mc"
+    out.mkdir()
+    s = load_settings(os.path.join(CASE, "settings", "base.xml"),
+                      opts_to_set=("repDischargeTs",),
+                      opts_to_unset=("wateruse", "riceIrrigation", "groundwaterSmooth",
+                                     "SplitRouting", "simulateLakes", "simulateReservoirs",
+                                     "openwaterevapo", "drainedIrrigation"),
+                      vars_to_set={"CalendarDayStart": "01/01/1900 00:00",
+                                   "StepStart": "02/01/1951 06:00",
+                                   "StepEnd": "04/01/1951 00:00",
+                                   "DtSec": "21600",
+                                   "PathMeteo": "$(PathRoot)/meteo_1950",
+                                   "ReportSteps": "starttime..endtime",
+                                   "PathOut": str(out)})
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r = LisfloodRunner(s)
+    run_montecarlo(r, n_members=2, seed=5, with_outputs=True)
+    series = []
+    for m in (1, 2):
+        tss = out / str(m) / "dis.tss"
+        assert tss.exists(), f"member {m} dis.tss missing"
+        ids, data, steps = read_tss(str(tss))
+        assert data.shape[0] >= 1 and np.isfinite(data).all()
+        series.append(data)
+    assert np.abs(series[0] - series[1]).max() > 0, "member series must differ"
+
+
+@pytest.mark.slow
 def test_enkf_analysis_pulls_towards_observations(runner):
     from lisflood_tpu.models.ensemble import EnsembleRunner
 

@@ -117,3 +117,143 @@ def test_forcing_reader_closest_indexer(tmp_path, etrs89_case):
     idx = _map_dates_index(dates, [f0, f1], "closest", False)
     # floor semantics: past the midpoint (Jan 3) still slice 0; Jan 5+ -> 1
     assert idx == [0, 0, 0, 0, 0, 1]
+
+
+def test_cf_fixed_calendars_roundtrip():
+    """360_day / noleap / all_leap calendars (reference reaches these via
+    netCDF4/cftime, settings.py:700-790): date<->num round trips, the
+    360_day Feb-30 date, and noleap's missing Feb 29."""
+    import datetime
+    from lisflood_tpu.io.nctime import (CFDateTime, check_calendar,
+                                        date_to_num, num_to_date)
+
+    for cal in ("360_day", "noleap", "365_day", "all_leap", "366_day"):
+        check_calendar(cal)   # must not raise
+
+    units = "days since 2000-01-01"
+    # 360_day: every month has 30 days; day 59 is Feb 30 (no real datetime)
+    d = num_to_date(59, units, "360_day")
+    assert isinstance(d, CFDateTime) and (d.year, d.month, d.day) == (2000, 2, 30)
+    assert date_to_num(d, units, "360_day") == 59
+    # day 60 -> Mar 1
+    d = num_to_date(60, units, "360_day")
+    assert (d.year, d.month, d.day) == (2000, 3, 1)
+    # a full 360_day year later
+    d = num_to_date(360, units, "360_day")
+    assert (d.year, d.month, d.day) == (2001, 1, 1)
+
+    # noleap: 2000 Feb has 28 days even though 2000 is a real leap year
+    d = num_to_date(59, units, "noleap")
+    assert (d.year, d.month, d.day) == (2000, 3, 1)
+    assert date_to_num(d, units, "noleap") == 59
+    d = num_to_date(365, units, "noleap")
+    assert (d.year, d.month, d.day) == (2001, 1, 1)
+
+    # all_leap: every year has Feb 29; 2001-02-29 has no real datetime
+    d = num_to_date(366 + 59, units, "all_leap")
+    assert isinstance(d, CFDateTime) and (d.year, d.month, d.day) == (2001, 2, 29)
+    assert date_to_num(d, units, "all_leap") == 366 + 59
+
+    # hours units + sub-day times round trip in fixed calendars
+    units_h = "hours since 1990-06-15 06:00:00"
+    for cal in ("360_day", "noleap"):
+        for v in (0, 5, 29.5, 2000.25):
+            d = num_to_date(v, units_h, cal)
+            assert date_to_num(d, units_h, cal) == pytest.approx(v, abs=1e-9)
+
+    # the real calendar path is unchanged
+    d = num_to_date(31, units, "proleptic_gregorian")
+    assert d == datetime.datetime(2000, 2, 1)
+
+
+def test_pcraster_forcing_stack(tmp_path, etrs89_case):
+    """PCRaster numbered-map forcing stacks (reference readmapsparse,
+    add1.py:629-660): 8.3 numbered names, sparse reuse of the latest
+    available map, and the netCDF-vs-map dispatch of open_forcing_stack."""
+    from lisflood_tpu.io.forcing import CsfStackReader, open_forcing_stack
+
+    m = csf.read_map(os.path.join(etrs89_case, "maps", "mask.map"))
+    grid = build_grid(os.path.join(etrs89_case, "maps", "mask.map"))
+    prefix = str(tmp_path / "pr")
+    rng = np.random.default_rng(0)
+    fields = {}
+    # maps for steps 5, 6, 8 (step 7 deliberately missing -> sparse reuse)
+    for step in (5, 6, 8):
+        data = np.where(m.mv_mask, np.nan,
+                        rng.uniform(0, 10, m.data.shape)).astype(np.float32)
+        fields[step] = data
+        probe = CsfStackReader(prefix, grid, [], first_step=step)
+        csf.write_map(probe.path_for_step(step), data, m.west, m.north, m.cell_size)
+
+    r = open_forcing_stack(prefix, grid, [], first_step=5)
+    assert isinstance(r, CsfStackReader)
+    # 8.3 naming matches the reference generateName convention
+    assert os.path.basename(r.path_for_step(5)) == "pr000000.005"
+    assert os.path.basename(r.path_for_step(123456789)) == "pr123456.789"
+    v5 = r[0]
+    np.testing.assert_allclose(v5, grid.compress(fields[5].astype(np.float64)))
+    v6 = r[1]
+    v7 = r[2]            # missing map -> reuses step 6
+    np.testing.assert_array_equal(v7, v6)
+    v8 = r[3]
+    np.testing.assert_allclose(v8, grid.compress(fields[8].astype(np.float64)))
+    assert np.abs(v8 - v6).max() > 0
+    r.close()
+
+    # dispatch still prefers netCDF when the .nc exists
+    from lisflood_tpu.io.forcing import ForcingReader
+    settings_nc = load_settings(os.path.join(etrs89_case, "settings", "base.xml"),
+                                vars_to_set={"StepStart": "02/01/2016 06:00",
+                                             "StepEnd": "02/01/2016 06:00",
+                                             "DtSec": "86400"})
+    pr_nc = settings_nc.binding["PrecipitationMaps"]
+    if os.path.exists(os.path.splitext(pr_nc)[0] + ".nc"):
+        import datetime
+        dates = [datetime.datetime(1951, 1, 2, 6)]
+        # (meteo_1950 actually holds the 1951 data in this environment)
+        pr_1950 = pr_nc.replace("/meteo/", "/meteo_1950/")
+        if os.path.exists(os.path.splitext(pr_1950)[0] + ".nc"):
+            nc_reader = open_forcing_stack(pr_1950, grid, dates, first_step=1)
+            assert isinstance(nc_reader, ForcingReader)
+            nc_reader.close()
+
+
+def test_tss_progressive_writing(tmp_path):
+    """TssWriter keeps the on-disk file current (crash loses at most one
+    flush interval — reference behaviour is progressive rewriting,
+    zusatz.py:196-400), and incremental output is byte-equivalent in
+    content to a single end-of-run write."""
+    from lisflood_tpu.io.tss import TssWriter, read_tss
+
+    rng = np.random.default_rng(1)
+    vals = rng.uniform(0, 100, (10, 3))
+
+    # progressive writer, "crashed" before the final flush
+    p1 = tmp_path / "prog.tss"
+    w = TssWriter(p1, [1, 2, 3], flush_every=4)
+    for i in range(10):
+        w.sample(i + 1, vals[i])
+    # no flush() — simulate a crash; at least 2 full intervals are on disk
+    ids, data, steps = read_tss(str(p1))
+    assert ids == [1, 2, 3]
+    assert len(steps) >= 8
+    np.testing.assert_allclose(data, vals[: len(steps)], rtol=1e-5)
+
+    # completing the run yields the same content as the all-at-once writer
+    w.flush()
+    w2 = TssWriter(tmp_path / "ref.tss", [1, 2, 3], flush_every=10**9)
+    for i in range(10):
+        w2.sample(i + 1, vals[i])
+    w2.flush()
+    a = read_tss(str(p1))
+    b = read_tss(str(tmp_path / "ref.tss"))
+    assert a[0] == b[0]
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[2], b[2])
+
+    # overwriting an already-written step falls back to a full rewrite
+    w.sample(5, [9.0, 9.0, 9.0])
+    w.flush()
+    ids3, data3, steps3 = read_tss(str(p1))
+    assert len(steps3) == 10
+    np.testing.assert_array_equal(data3[4], [9.0, 9.0, 9.0])
