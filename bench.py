@@ -72,32 +72,40 @@ def bench_continental(nrows=1200, ncols=1000, n_steps=5, chunk_size=512):
     import jax
     import jax.numpy as jnp
     from lisflood_tpu.models.synthetic import build_synthetic_model, synthetic_forcing
-    from lisflood_tpu.models.step import build_step
+    from lisflood_tpu.models.step import build_step, build_multi_step
 
     # chunk_size=512 measured fastest on the real chip (see PERF.md):
     # the one-hot scatter matmul cost grows linearly in C while the scan
     # iteration overhead floors below C~512. The default RoutingPipeline
     # (auto) dispatches this full-option f32 TPU run to the fused Mosaic
     # sub-step kernel WITH the lake/reservoir chains (ops/kinwave_pallas.py).
+    # Measured on the PRODUCTION data path (the scanned driver lisfloodexe
+    # runs by default): steps scan on device, the routing state stays
+    # schedule-packed across steps, and only the discharge output
+    # materializes — exactly what a real run with discharge reporting pays.
     cfg, params, state, aux = build_synthetic_model(
         nrows=nrows, ncols=ncols, no_rout_steps=24, chunk_size=chunk_size)
-    step, _ = build_step(cfg, params, aux, dtype=jnp.float32)
+    multi, _ = build_multi_step(cfg, params, aux, output_keys=("ChanQAvg",),
+                                dtype=jnp.float32)
     f32 = lambda v: jnp.asarray(v, jnp.float32 if np.asarray(v).dtype.kind == "f" else None)
-    state = {k: f32(v) for k, v in state.items()}
+    state = multi.prepare_state({k: f32(v) for k, v in state.items()})
     forcing = {k: f32(v) for k, v in synthetic_forcing(cfg.num_pixels).items()}
-    s, d = step(state, forcing)                  # warmup / compile
-    jax.block_until_ready(s)
+    stack = {k: jnp.stack([v] * n_steps) for k, v in forcing.items()}
+    s, outs = multi(state, stack)                # warmup / compile
+    jax.block_until_ready(outs)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        s, d = step(s, forcing)
-    jax.block_until_ready(s)
+    s, outs = multi(s, stack)
+    jax.block_until_ready(outs)
     elapsed = time.perf_counter() - t0
-
     # per-phase attribution: device time of the two dominant phases,
-    # measured with param arrays passed as jit args (not constants)
+    # measured with param arrays passed as jit args (not constants); a
+    # single full-diag step provides the diagnostics namespace
     from lisflood_tpu.models.step import build_routers, packed_routing_params
     from lisflood_tpu.ops.routing_ops import channel_routing
     from lisflood_tpu.ops.physics import soil_columns_step
+    step, _ = build_step(cfg, params, aux, dtype=jnp.float32)
+    s, d = step(s, forcing)
+    jax.block_until_ready(s)
     routers = build_routers(cfg, aux)
     _, feeders_earlier = packed_routing_params(cfg, params, routers["kin"].ps)
     routers["kin"].struct_feeders_earlier = feeders_earlier
@@ -124,18 +132,17 @@ def bench_continental(nrows=1200, ncols=1000, n_steps=5, chunk_size=512):
     }
 
     # secondary: the sequential XLA sub-step loop (RoutingPipeline=substeps)
-    # on the SAME full-option configuration — the fallback path and the
-    # equivalence-gate partner of the Mosaic kernel
+    # on the SAME full-option configuration and production data path —
+    # the fallback path and the equivalence-gate partner of the Mosaic kernel
     import dataclasses
     cfg2 = dataclasses.replace(cfg, routing_pipeline="substeps")
-    step2, _ = build_step(cfg2, params, aux, dtype=jnp.float32)
-    s2 = {k: f32(v) for k, v in state.items()}
-    o2, _ = step2(s2, forcing)
-    jax.block_until_ready(o2)
+    multi2, _ = build_multi_step(cfg2, params, aux, output_keys=("ChanQAvg",),
+                                 dtype=jnp.float32)
+    s2, outs2 = multi2(state, stack)
+    jax.block_until_ready(outs2)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        o2, _ = step2(s2, forcing)
-    jax.block_until_ready(o2)
+    s2, outs2 = multi2(s2, stack)
+    jax.block_until_ready(outs2)
     substeps_per_step = (time.perf_counter() - t0) / n_steps
     phases["xla_substeps_seconds_per_step"] = round(substeps_per_step, 5)
     phases["pallas_vs_xla_speedup"] = round(substeps_per_step * n_steps / elapsed, 3)

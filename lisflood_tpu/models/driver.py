@@ -454,8 +454,11 @@ class LisfloodRunner:
         self.step_fn, self.params = build_step(self.config, params_np, aux, dtype=dtype)
         # keep exactly the step function's state contract: build_model may
         # emit extra entries (e.g. split-routing state during an InitLisflood
-        # prerun) that would break the lax.scan carry structure
+        # prerun) that would break the lax.scan carry structure. With the
+        # packed router the routing state converts ONCE to schedule-packed
+        # pk$ entries here (and back to natural space at end of run).
         from .step import state_keys
+        state_np = self.step_fn.prepare_state(state_np)
         allowed = set(state_keys(self.config))
         self.state = {k: jnp.asarray(v, dtype if np.asarray(v).dtype.kind == "f" else None)
                       for k, v in state_np.items() if k in allowed}
@@ -588,7 +591,7 @@ class LisfloodRunner:
         n = end - start + 1
         if max_steps is not None:
             n = min(n, max_steps)
-        state = self.state
+        state = self.step_fn.prepare_state(self.state)
         offset = 0
         while offset < n:
             k = min(chunk_steps, n - offset)
@@ -612,9 +615,10 @@ class LisfloodRunner:
             offset += k
         if progress:
             print()
-        self.state = state
+        # natural-space state for downstream consumers (warm dumps, tests)
+        self.state = self.step_fn.natural_state(state)
         self.close()
-        return state
+        return self.state
 
     def _debug_dump(self, fname, chan_m3, chan2_m3=None, cross2_area=None):
         """-d debug: per-pixel channel state text dump (reference
@@ -655,13 +659,15 @@ class LisfloodRunner:
         n = end - start + 1
         if max_steps is not None:
             n = min(n, max_steps)
+        self.state = self.step_fn.prepare_state(self.state)
         if debug:
-            split = "CrossSection2Area" in self.state
+            st_n = self.step_fn.natural_state(self.state)
+            split = "CrossSection2Area" in st_n
             self._debug_dump(
                 os.path.join(settings.output_dir, f"Debug_init_{start}.txt"),
-                self.state["ChanM3Kin"],
-                self.state.get("Chan2M3Kin") if split else None,
-                self.state.get("CrossSection2Area") if split else None)
+                st_n["ChanM3Kin"],
+                st_n.get("Chan2M3Kin") if split else None,
+                st_n.get("CrossSection2Area") if split else None)
         for offset in range(n):
             step = start + offset
             date = self.dates[offset]
@@ -685,14 +691,16 @@ class LisfloodRunner:
             elif progress:
                 print(f"\r{step} - {date:%d/%m/%Y %H:%M}", end="", flush=True)
             if debug:
-                split = "Chan2M3Kin" in self.state
+                st_n = self.step_fn.natural_state(self.state)
+                split = "Chan2M3Kin" in st_n
                 self._debug_dump(
                     os.path.join(settings.output_dir, f"Debug_out_{step}.txt"),
-                    np.asarray(diag.get("ChanM3", self.state["ChanM3Kin"])),
-                    self.state.get("Chan2M3Kin") if split else None,
-                    self.state.get("CrossSection2Area") if split else None)
+                    np.asarray(diag.get("ChanM3", st_n["ChanM3Kin"])),
+                    st_n.get("Chan2M3Kin") if split else None,
+                    st_n.get("CrossSection2Area") if split else None)
         if progress and not loud:
             print()
+        self.state = self.step_fn.natural_state(self.state)
         self.close()
         return self.state
 

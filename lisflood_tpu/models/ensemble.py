@@ -53,7 +53,7 @@ class EnsembleRunner:
                  with_outputs=False):
         self.runner = runner
         self.n = n_members
-        base_state = runner.state
+        base_state = runner.step_fn.prepare_state(runner.state)
         keys = jax.random.split(jax.random.PRNGKey(seed), n_members)
         members = [perturb_state(k, base_state, perturb_fields, sigma) for k in keys]
         self.state = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
@@ -115,7 +115,7 @@ class EnsembleRunner:
         r_std = np.broadcast_to(np.asarray(obs_sigma, np.float64), (n_obs,))
 
         # forecast observations per member: H X_f
-        hx = np.asarray(self.state["ChanQ"])[:, obs_pixels]        # (N, n_obs)
+        hx = self._gauge_discharge(obs_pixels)                     # (N, n_obs)
         hx_anom = hx - hx.mean(0)
         s = hx_anom.T @ hx_anom / (N - 1) + np.diag(r_std**2)
         s_inv = np.linalg.inv(s)
@@ -127,6 +127,9 @@ class EnsembleRunner:
         innov_d = jnp.asarray(innov)
         hx_anom_d = jnp.asarray(hx_anom)
         new_state = dict(self.state)
+        # routing fields live under pk$ names when the packed router holds
+        # the routing state in schedule order (models/step.uses_packed_state)
+        fields = [f if f in self.state else "pk$" + f for f in fields]
         for field in fields:
             xf = self.state[field]                                 # (N, ...) member-major
             flat = xf.reshape(N, -1)
@@ -137,6 +140,14 @@ class EnsembleRunner:
             new_state[field] = new_flat.reshape(xf.shape)
         self.state = new_state
         return new_state
+
+    def _gauge_discharge(self, obs_pixels):
+        """(N, n_obs) member discharge at natural-space pixel indices,
+        regardless of whether ChanQ is held naturally or packed."""
+        if "ChanQ" in self.state:
+            return np.asarray(self.state["ChanQ"])[:, np.asarray(obs_pixels)]
+        inv = np.asarray(self.runner.step_fn.routers["kin"].ps.inv_perm)
+        return np.asarray(self.state["pk$ChanQ"])[:, inv[np.asarray(obs_pixels)]]
 
     # ------------------------------------------------------------------
     def dump_states(self, directory, step):
@@ -188,7 +199,7 @@ def run_from_settings(runner, settings, seed=0):
         step = start + off - 1
         ens.dump_states(state_dir, step)
         if obs_pixels.size:
-            hx = np.asarray(ens.state["ChanQ"])[:, obs_pixels]
+            hx = ens._gauge_discharge(obs_pixels)
             y = hx.mean(0)
             sigma = np.maximum(0.1 * np.abs(y), 1e-6)
             ens.enkf_analysis(y, obs_pixels, sigma, seed=seed + off)

@@ -37,6 +37,28 @@ STATE_KEYS_BASE = [
 ]
 
 
+def uses_packed_state(cfg):
+    """Whether the channel-routing state lives in schedule-packed position
+    space ACROSS steps (pk$-prefixed state keys). Round-4 design: the
+    per-step pack/unpack permutation gathers of continental state vectors
+    were the single largest cost of the model step (profiled ~120 ms of a
+    270 ms step); keeping the routing state packed makes them one-time.
+    Natural-space views are emitted as diagnostics and DCE'd by XLA in the
+    scanned production path unless outputs consume them."""
+    return cfg.routing_kernel == "packed"
+
+
+def packed_routing_keys(cfg):
+    """State entries held packed (pk$-prefixed) when uses_packed_state."""
+    keys = ["ChanQKin", "ChanM3Kin", "ChanQ", "CumQ", "avgdis",
+            "DischargeM3Out", "sumDis"]
+    if cfg.split_routing and not cfg.init_lisflood:
+        keys += ["Chan2QKin", "Chan2M3Kin", "CrossSection2Area", "Sideflow1Chan"]
+    if cfg.trans_loss:
+        keys += ["TransCum"]
+    return keys
+
+
 def state_keys(cfg):
     keys = list(STATE_KEYS_BASE)
     if cfg.split_routing and not cfg.init_lisflood:
@@ -60,6 +82,9 @@ def state_keys(cfg):
     if cfg.indicator and cfg.water_use:
         from ..ops.indicators import indicator_keys
         keys += list(indicator_keys(cfg))
+    if uses_packed_state(cfg):
+        pk = set(packed_routing_keys(cfg))
+        keys = ["pk$" + k if k in pk else k for k in keys]
     return keys
 
 
@@ -114,6 +139,10 @@ def packed_routing_params(cfg, params_np, ps):
     pk("ChannelAlpha", 1.0)
     out["kinp$IsChannelKinematic"] = ps.pack_np(
         np.asarray(params_np["IsChannelKinematic"], bool), False)
+    # packed-space outlet mask for the DischargeM3Out accumulator
+    # (routing_ops._post_routing_packed)
+    out["kinp$AtLastPointC"] = ps.pack_np(
+        np.asarray(params_np["AtLastPointC"], bool), False)
     if cfg.split_routing and not cfg.init_lisflood:
         pk("ChannelAlpha2", 1.0)
         pk("QLimit", 0.0)
@@ -177,6 +206,45 @@ def packed_routing_params(cfg, params_np, ps):
     return out, feeders_earlier[0]
 
 
+def prepare_state(cfg, routers, state):
+    """Convert a natural-space state dict into the step function's state
+    contract: when uses_packed_state, routing entries move to pk$-prefixed
+    schedule-packed arrays (host- or device-side)."""
+    if not uses_packed_state(cfg) or "pk$ChanQKin" in state:
+        return dict(state)
+    kin = routers["kin"]
+    out = {}
+    pkeys = set(packed_routing_keys(cfg))
+    for k, v in state.items():
+        if k in pkeys:
+            if isinstance(v, np.ndarray):
+                out["pk$" + k] = kin.ps.pack_np(np.asarray(v, np.float64))
+            else:
+                out["pk$" + k] = kin.pack(v)
+        else:
+            out[k] = v
+    return out
+
+
+def natural_state(cfg, routers, state):
+    """Inverse of prepare_state: unpack pk$ entries back to natural-space
+    names (padding slots dropped); other entries pass through."""
+    if not any(str(k).startswith("pk$") for k in state):
+        return dict(state)
+    kin = routers["kin"]
+    inv = np.asarray(kin.ps.inv_perm)
+    out = {}
+    for k, v in state.items():
+        if str(k).startswith("pk$"):
+            if isinstance(v, np.ndarray):
+                out[k[3:]] = np.asarray(v)[..., inv]
+            else:
+                out[k[3:]] = kin.unpack(v)
+        else:
+            out[k] = v
+    return out
+
+
 def build_step(cfg, params_np, aux, dtype=jnp.float64):
     """Returns (step_fn, device_params). step_fn is jitted over (state, forcing)."""
     p = {}
@@ -204,11 +272,17 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
     p_scalars = {k: v for k, v in p.items() if not isinstance(v, jax.Array)}
     p_arrays = {k: v for k, v in p.items() if isinstance(v, jax.Array)}
 
+    packed_state = uses_packed_state(cfg)
+
     def step_impl(pa, s, f):
         p = {**p_scalars, **pa}
         catchtotal = lambda x: segment_spread(x, p["Catchments"], ncatch)
         d = dict(f)  # diagnostics namespace, seeded with forcing
         d["TimeSinceStart"] = s["TimeSinceStart"] + 1.0
+        # natural-space view of packed routing state, for the option-gated
+        # consumers below (one permutation gather, CSE'd across uses)
+        s_nat = (lambda key: routers["kin"].unpack(s["pk$" + key])) \
+            if packed_state else (lambda key: s[key])
 
         # transient land-use change (landusechange.py:94-148): per-step
         # fraction stacks arrive as forcing and override the init-time
@@ -268,9 +342,9 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
             d["PaddyRiceWaterAbstractionFromSurfaceWaterM3"] = jnp.zeros_like(d["Rain"])
         if cfg.water_use:
             wa_state = dict(s)
-            wa_state["ChanM3Kin"] = s["ChanM3Kin"]
-            d["ChanM3Kin"] = s["ChanM3Kin"]
-            d["ChanQ"] = s["ChanQ"]
+            wa_state["ChanM3Kin"] = s_nat("ChanM3Kin")
+            d["ChanM3Kin"] = wa_state["ChanM3Kin"]
+            d["ChanQ"] = s_nat("ChanQ")
             d.update(ph.water_abstraction_step(cfg, p, wa_state, d))
             if cfg.groundwater_smooth:
                 from ..ops.indicators import groundwater_smooth
@@ -288,7 +362,7 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
         # open water evaporation
         if cfg.open_water_evapo:
             eva_d = dict(d)
-            eva_d["ChanM3Kin"] = s["ChanM3Kin"]
+            eva_d["ChanM3Kin"] = s_nat("ChanM3Kin")
             d.update(ph.evapowater_step(cfg, p, s, eva_d))
 
         # surface routing
@@ -340,6 +414,9 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
     step.impl = step_impl   # array-params-explicit form for scan/vmap composition
     step.params = p
     step.params_arrays = p_arrays
+    step.routers = routers
+    step.prepare_state = lambda st: prepare_state(cfg, routers, st)
+    step.natural_state = lambda st: natural_state(cfg, routers, st)
     return step, p
 
 
@@ -368,6 +445,9 @@ def build_multi_step(cfg, params_np, aux, output_keys=(), dtype=jnp.float64):
 
     multi.impl = multi_impl
     multi.params = p
+    multi.routers = step_fn.routers
+    multi.prepare_state = step_fn.prepare_state
+    multi.natural_state = step_fn.natural_state
     return multi, p
 
 

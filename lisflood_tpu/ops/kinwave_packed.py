@@ -192,9 +192,14 @@ class PackedRouter:
         # sweep or permutation needed
         self.no_edges = bool((ps.down_local == ps.window * ps.chunk).all())
         # gather indices: padding positions read slot P of a (P+1)-padded source
-        self.perm = jnp.asarray(np.where(ps.perm < ps.num_pixels, ps.perm, ps.num_pixels))
-        self.inv_perm = jnp.asarray(ps.inv_perm)
-        self.down_local = jnp.asarray(ps.down_local)
+        # int32 indices: under the global x64 flag a plain asarray yields
+        # int64 gather indices, and the TPU gather for the per-step
+        # pack/unpack permutations of continental vectors runs several
+        # times slower (profiled)
+        self.perm = jnp.asarray(
+            np.where(ps.perm < ps.num_pixels, ps.perm, ps.num_pixels), jnp.int32)
+        self.inv_perm = jnp.asarray(ps.inv_perm, jnp.int32)
+        self.down_local = jnp.asarray(ps.down_local, jnp.int32)
 
     def pack(self, x, fill=0.0):
         """Natural (..., P) -> packed (..., p_pad) reorder on device."""

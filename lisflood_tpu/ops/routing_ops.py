@@ -145,13 +145,18 @@ def channel_routing(cfg, p, s, d, routers):
     diagnostics.
 
     With the packed router the WHOLE sub-step loop runs in schedule-packed
-    position space: state/forcing vectors are reordered once per model
-    step, the per-sweep operands need no permutation at all, and the
+    position space, and with uses_packed_state (models/step.py) the routing
+    state ALSO stays packed ACROSS steps ('pk$' state keys): the per-step
+    permutation gathers of continental state vectors — profiled as the
+    single largest cost of the round-3 step — happen once at init, and the
+    natural-space views emitted for diagnostics are DCE'd by XLA in the
+    scanned production path unless an output consumes them. The
     lake/reservoir/downstream indices are the precomputed position-space
     ones (params prefixed 'kinp$', built host-side in models/step.py).
     The natural-space path (ScanRouter) is the identity mapping."""
     P = cfg.num_pixels
-    dtype = s["ChanQKin"].dtype
+    packed_state = "pk$ChanQKin" in s
+    dtype = (s["pk$ChanQKin"] if packed_state else s["ChanQKin"]).dtype
     kin = routers["kin"]
     packed = "kinp$ChanLength" in p and hasattr(kin, "route_packed")
     structs = ((cfg.simulate_lakes or cfg.simulate_reservoirs)
@@ -212,19 +217,23 @@ def channel_routing(cfg, p, s, d, routers):
         din["QInM3OldLoop"] = pack(d["QInM3OldLoop"])
         din["QDelta"] = pack(d["QDelta"])
 
+    # routing-space state access: already-packed pk$ entries, or a per-step
+    # pack of the natural entries (scan/sharded kernels)
+    spk = (lambda k: s["pk$" + k]) if packed_state else (lambda k: pack(s[k]))
+
     zero = jnp.zeros(N, dtype)
     carry = {
-        "ChanQKin": pack(s["ChanQKin"]),
-        "ChanM3Kin": pack(s["ChanM3Kin"]),
-        "ChanQ": pack(s["ChanQ"]),
+        "ChanQKin": spk("ChanQKin"),
+        "ChanM3Kin": spk("ChanM3Kin"),
+        "ChanQ": spk("ChanQ"),
         "sumDisDay": zero,
     }
     if cfg.split_routing and not cfg.init_lisflood:
         carry.update({
-            "Chan2QKin": pack(s["Chan2QKin"]),
-            "Chan2M3Kin": pack(s["Chan2M3Kin"]),
-            "CrossSection2Area": pack(s["CrossSection2Area"]),
-            "Sideflow1Chan": pack(s["Sideflow1Chan"]),
+            "Chan2QKin": spk("Chan2QKin"),
+            "Chan2M3Kin": spk("Chan2M3Kin"),
+            "CrossSection2Area": spk("CrossSection2Area"),
+            "Sideflow1Chan": spk("Sideflow1Chan"),
         })
     if cfg.simulate_lakes and not cfg.init_lisflood:
         lake_idx = pk("LakePos") if packed else p["LakeIndex"]
@@ -257,7 +266,7 @@ def channel_routing(cfg, p, s, d, routers):
             "sumResOutCC": jnp.zeros(cfg.num_reservoirs, dtype),
         })
     if cfg.trans_loss:
-        carry["TransCum"] = pack(s["TransCum"])
+        carry["TransCum"] = spk("TransCum")
     if cfg.rep_mbts:
         carry["AddedTRUN"] = zero
     if cfg.inflow:
@@ -367,6 +376,9 @@ def channel_routing(cfg, p, s, d, routers):
 
     carry, _ = jax.lax.scan(substep, carry, jnp.arange(cfg.no_rout_steps))
 
+    if packed_state:
+        return _post_routing_packed(cfg, p, s, d, carry, routers)
+
     # back to natural pixel space for the post-loop diagnostics
     for key in ("ChanQKin", "ChanM3Kin", "ChanQ", "sumDisDay", "Chan2QKin",
                 "Chan2M3Kin", "CrossSection2Area", "Sideflow1Chan",
@@ -458,6 +470,43 @@ def _post_routing(cfg, p, s, d, carry, dtype):
     return out
 
 
+def _post_routing_packed(cfg, p, s, d, carry_p, routers):
+    """Packed-state epilogue: advances the pk$ routing state in position
+    space (no permutation gathers on the carried path) and reuses
+    _post_routing for ALL natural-space diagnostics via lazily-unpacked
+    views — XLA DCEs any view no output consumes in the scanned production
+    driver, so a run that only reports discharge pays exactly one unpack
+    per step (sumDisDay -> ChanQAvg)."""
+    kin = routers["kin"]
+    p_pad = kin.ps.p_pad
+    unpack = kin.unpack
+
+    def view(v):
+        return unpack(v) if getattr(v, "ndim", 0) >= 1 and v.shape[-1] == p_pad else v
+
+    carry_n = {k: view(v) for k, v in carry_p.items()}
+    s_n = dict(s)
+    for key in ("sumDis", "CumQ", "avgdis", "DischargeM3Out", "TransCum"):
+        if "pk$" + key in s:
+            s_n[key] = unpack(s["pk$" + key])
+    out = _post_routing(cfg, p, s_n, d, carry_n, carry_n["ChanQKin"].dtype)
+
+    # the advancing state, in packed space (bit-identical to the natural
+    # updates in _post_routing — same elementwise ops, permuted layout)
+    for key in ("ChanQKin", "ChanM3Kin", "ChanQ", "Chan2QKin", "Chan2M3Kin",
+                "CrossSection2Area", "Sideflow1Chan", "TransCum"):
+        if key in carry_p:
+            out["pk$" + key] = carry_p[key]
+    out["pk$sumDis"] = s["pk$sumDis"] + carry_p["sumDisDay"]
+    if cfg.init_lisflood or cfg.rep_average_dis:
+        cum_q = s["pk$CumQ"] + carry_p["ChanQ"]
+        out["pk$CumQ"] = cum_q
+        out["pk$avgdis"] = cum_q / d["TimeSinceStart"]
+    out["pk$DischargeM3Out"] = s["pk$DischargeM3Out"] + jnp.where(
+        p["kinp$AtLastPointC"], carry_p["ChanQ"] * cfg.dt_sec, 0)
+    return out
+
+
 def channel_routing_pipelined(cfg, p, s, d, routers):
     """Wavefront-pipelined sub-step loop: chunk-major scan with ALL
     NoRoutSteps sub-steps of a chunk computed inside one scan iteration.
@@ -486,12 +535,14 @@ def channel_routing_pipelined(cfg, p, s, d, routers):
     same clamp order); only the window-accumulation float grouping can
     differ at ulp level — gated by tests/test_model.py.
     """
-    dtype = s["ChanQKin"].dtype
+    packed_state = "pk$ChanQKin" in s
+    dtype = (s["pk$ChanQKin"] if packed_state else s["ChanQKin"]).dtype
     kin = routers["kin"]
     ps = kin.ps
     pk = lambda name: p["kinp$" + name]
     pack = kin.pack
     unpack = kin.unpack
+    spk = (lambda k: s["pk$" + k]) if packed_state else (lambda k: pack(s[k]))
     T = cfg.no_rout_steps
     C = ps.chunk
     n_chunks = ps.n_chunks
@@ -513,9 +564,9 @@ def channel_routing_pipelined(cfg, p, s, d, routers):
         "alpha1": c2(pk("ChannelAlpha")),
         "ischan": c2(pk("IsChannelKinematic")),
         "dl": jnp.asarray(ps.down_local).reshape(n_chunks, C),
-        "q1_0": c2(pack(s["ChanQKin"])),
-        "m31_0": c2(pack(s["ChanM3Kin"])),
-        "chanq_0": c2(pack(s["ChanQ"])),
+        "q1_0": c2(spk("ChanQKin")),
+        "m31_0": c2(spk("ChanM3Kin")),
+        "chanq_0": c2(spk("ChanQ")),
         "cidx": jnp.arange(n_chunks, dtype=jnp.int32),
     }
     if split:
@@ -526,8 +577,8 @@ def channel_routing_pipelined(cfg, p, s, d, routers):
             "m3limit": c2(pk("M3Limit")),
             "chan2m3start": c2(pk("Chan2M3Start")),
             "chan2qstart": c2(pk("Chan2QStart")),
-            "q2_0": c2(pack(s["Chan2QKin"])),
-            "m32_0": c2(pack(s["Chan2M3Kin"])),
+            "q2_0": c2(spk("Chan2QKin")),
+            "m32_0": c2(spk("Chan2M3Kin")),
         })
     if cfg.open_water_evapo:
         xs["eva"] = c2(pack(d["EvaAddM3Dt"]))
@@ -553,7 +604,7 @@ def channel_routing_pipelined(cfg, p, s, d, routers):
         lake_ups_lane = pk("LakeUpsIdx") % C
         lake_ups_w = pk("LakeUpsW")
         buf_lake0 = jnp.zeros((nl, T + 1), dtype).at[:, 0].set(
-            (pack(s["ChanQ"])[pk("LakeUpsIdx")] * lake_ups_w).sum(1))
+            (spk("ChanQ")[pk("LakeUpsIdx")] * lake_ups_w).sum(1))
     if reservoirs:
         nr = cfg.num_reservoirs
         res_chunk = pk("ResPos") // C
@@ -562,7 +613,7 @@ def channel_routing_pipelined(cfg, p, s, d, routers):
         res_ups_lane = pk("ResUpsIdx") % C
         res_ups_w = pk("ResUpsW")
         buf_res0 = jnp.zeros((nr, T + 1), dtype).at[:, 0].set(
-            (pack(s["ChanQ"])[pk("ResUpsIdx")] * res_ups_w).sum(1))
+            (spk("ChanQ")[pk("ResUpsIdx")] * res_ups_w).sum(1))
 
     carry0 = {"win": jnp.zeros((T, L, W * C), dtype)}
     if lakes:
@@ -699,7 +750,10 @@ def channel_routing_pipelined(cfg, p, s, d, routers):
 
     carry, ys = jax.lax.scan(body, carry0, xs)
 
-    collect = lambda name: unpack(ys[name].reshape(-1))
+    # packed-state mode keeps the carry in position space; natural mode
+    # unpacks here (scan/sharded kernels)
+    collect = (lambda name: ys[name].reshape(-1)) if packed_state \
+        else (lambda name: unpack(ys[name].reshape(-1)))
     out_carry = {
         "ChanQKin": collect("q1"),
         "ChanM3Kin": collect("m31"),
@@ -712,7 +766,7 @@ def channel_routing_pipelined(cfg, p, s, d, routers):
             "CrossSection2Area": collect("cross2"), "Sideflow1Chan": collect("side1"),
         })
     if cfg.trans_loss:
-        out_carry["TransCum"] = s["TransCum"] + collect("trans")
+        out_carry["TransCum"] = spk("TransCum") + collect("trans")
     if cfg.inflow:
         # closed form of the per-substep ramp sum (inflow.py:145-147)
         out_carry["QinADDEDM3"] = d["QInM3OldLoop"] + d["QDelta"] * (T + 1) / 2.0
@@ -735,6 +789,8 @@ def channel_routing_pipelined(cfg, p, s, d, routers):
               "ReservoirFillCC", "sumResInCC", "sumResOutCC"):
         if k in carry:
             out_carry[k] = carry[k]
+    if packed_state:
+        return _post_routing_packed(cfg, p, s, d, out_carry, routers)
     return _post_routing(cfg, p, s, d, out_carry, s["ChanQKin"].dtype)
 
 
@@ -747,12 +803,14 @@ def channel_routing_pallas(cfg, p, s, d, routers):
     dispatches accordingly."""
     from .kinwave_pallas import build_substep_pallas, _rnd
 
-    dtype = s["ChanQKin"].dtype
+    packed_state = "pk$ChanQKin" in s
+    dtype = (s["pk$ChanQKin"] if packed_state else s["ChanQKin"]).dtype
     kin = routers["kin"]
     ps = kin.ps
     pk = lambda name: p["kinp$" + name]
     pack = kin.pack
     unpack = kin.unpack
+    spk = (lambda k: s["pk$" + k]) if packed_state else (lambda k: pack(s[k]))
     T = cfg.no_rout_steps
     C = ps.chunk
     n_chunks = ps.n_chunks
@@ -768,9 +826,9 @@ def channel_routing_pallas(cfg, p, s, d, routers):
         "alpha1": c2(pk("ChannelAlpha")),
         "ischan": c2(pk("IsChannelKinematic")),
         "dl": jnp.asarray(ps.down_local).reshape(n_chunks, C),
-        "q1_0": c2(pack(s["ChanQKin"])),
-        "m31_0": c2(pack(s["ChanM3Kin"])),
-        "chanq_0": c2(pack(s["ChanQ"])),
+        "q1_0": c2(spk("ChanQKin")),
+        "m31_0": c2(spk("ChanM3Kin")),
+        "chanq_0": c2(spk("ChanQ")),
     }
     has = {"split": split}
     if split:
@@ -781,8 +839,8 @@ def channel_routing_pallas(cfg, p, s, d, routers):
             "m3limit": c2(jnp.minimum(pk("M3Limit"), jnp.finfo(jnp.float32).max)),
             "chan2m3start": c2(pk("Chan2M3Start")),
             "chan2qstart": c2(pk("Chan2QStart")),
-            "q2_0": c2(pack(s["Chan2QKin"])),
-            "m32_0": c2(pack(s["Chan2M3Kin"])),
+            "q2_0": c2(spk("Chan2QKin")),
+            "m32_0": c2(spk("Chan2M3Kin")),
         })
     if cfg.open_water_evapo:
         xs["eva"] = c2(pack(d["EvaAddM3Dt"]))
@@ -853,7 +911,7 @@ def channel_routing_pallas(cfg, p, s, d, routers):
             "lk_inold0": row(s["LakeInflowOldCC"], nl, NLp),
             "lk_out0": row(s["LakeOutflowCC"], nl, NLp),
             "lk_bal0": row(s["LakeStorageM3BalanceCC"], nl, NLp),
-            "lk_buf0": row((pack(s["ChanQ"])[pk("LakeUpsIdx")]
+            "lk_buf0": row((spk("ChanQ")[pk("LakeUpsIdx")]
                             * pk("LakeUpsW")).sum(1), nl, NLp),
         })
     if reservoirs:
@@ -876,7 +934,7 @@ def channel_routing_pallas(cfg, p, s, d, routers):
             "rs_dnfl": row(p["DeltaNFL"], nr, NRp, 1.0),
             "rs_st0": row(s["ReservoirStorageM3CC"], nr, NRp),
             "rs_fill0": row(s["ReservoirFillCC"], nr, NRp),
-            "rs_buf0": row((pack(s["ChanQ"])[pk("ResUpsIdx")]
+            "rs_buf0": row((spk("ChanQ")[pk("ResUpsIdx")]
                             * pk("ResUpsW")).sum(1), nr, NRp),
         })
 
@@ -884,7 +942,8 @@ def channel_routing_pallas(cfg, p, s, d, routers):
     run = build_substep_pallas(cfg, ps, float(p["Beta"]), has, interpret=interpret)
     ys = run(xs)
 
-    collect = lambda name: unpack(ys[name].reshape(-1)).astype(dtype)
+    collect = (lambda name: ys[name].reshape(-1).astype(dtype)) if packed_state \
+        else (lambda name: unpack(ys[name].reshape(-1)).astype(dtype))
     out_carry = {
         "ChanQKin": collect("q1"),
         "ChanM3Kin": collect("m31"),
@@ -897,7 +956,7 @@ def channel_routing_pallas(cfg, p, s, d, routers):
             "CrossSection2Area": collect("cross2"), "Sideflow1Chan": collect("side1"),
         })
     if cfg.trans_loss:
-        out_carry["TransCum"] = s["TransCum"] + collect("trans")
+        out_carry["TransCum"] = spk("TransCum") + collect("trans")
     if cfg.inflow:
         out_carry["QinADDEDM3"] = d["QInM3OldLoop"] + d["QDelta"] * (T + 1) / 2.0
     if cfg.rep_mbts:
@@ -924,4 +983,6 @@ def channel_routing_pallas(cfg, p, s, d, routers):
         out_carry.update({
             "ReservoirStorageM3CC": take("rs_st"), "ReservoirFillCC": take("rs_fill"),
             "sumResInCC": take("rs_sumin"), "sumResOutCC": take("rs_sumout")})
+    if packed_state:
+        return _post_routing_packed(cfg, p, s, d, out_carry, routers)
     return _post_routing(cfg, p, s, d, out_carry, dtype)

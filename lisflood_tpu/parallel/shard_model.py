@@ -88,6 +88,9 @@ def build_sharded_model_step(mesh, nrows=16, ncols=16, dtype=jnp.float32,
                                   num_shards=num_shards or len(mesh.devices.flat))
     step_fn, p = build_step(cfg, params, aux, dtype=dtype)
     P = cfg.num_pixels
+    # packed-router state contract (pk$ keys); the p_pad-sized packed
+    # entries are replicated by pixel_sharding (trailing dim != P)
+    state = step_fn.prepare_state(state)
     state_sharded = shard_tree(mesh, state, P)
     forcing = synthetic_forcing(P)
     forcing_sharded = shard_tree(mesh, forcing, P)

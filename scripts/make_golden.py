@@ -76,6 +76,7 @@ def run_case(tmp, pipeline="substeps", dtype=None, n_steps=N_STEPS):
         f = r.forcing_for(i, r.dates[i])
         state, diag = r.step_fn(state, f)
         dis.append(sampler.sample(np.asarray(diag["ChanQAvg"], np.float64)))
+    state = r.step_fn.natural_state(state)
     end = {k: np.asarray(state[k], np.float64) for k in STATE_KEYS if k in state}
     r.close()
     return np.asarray(dis), end

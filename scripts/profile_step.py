@@ -50,7 +50,7 @@ def profile_continental(nrows=1200, ncols=1000, no_rout_steps=24,
                                   num_shards=num_shards)
     step, p = build_step(cfg, params, aux, dtype=jnp.float32)
     f32 = lambda v: jnp.asarray(v, jnp.float32 if np.asarray(v).dtype.kind == "f" else None)
-    s = {k: f32(v) for k, v in state.items()}
+    s = step.prepare_state({k: f32(v) for k, v in state.items()})
     f = {k: f32(v) for k, v in synthetic_forcing(cfg.num_pixels).items()}
     _, d0 = step(s, f)
     d0 = dict(d0)

@@ -23,14 +23,34 @@ CASE = "/root/reference/tests/data/LF_lat_lon_UseCase"
 METEO_DIR = "/tmp/latlon_meteo"
 
 
-def synth_meteo():
+# synthesized seasonal ta/e0 parameters (mean, cosine amplitude), CALIBRATED
+# against the committed reference/dis_prerun.tss with the real tp.nc by
+# scripts/calibrate_latlon.py — the e0 magnitude sets the long-term runoff
+# ratio (P - ET), which the prerun discharge series pins down well.
+TA_MEAN, TA_AMP = 12.0, 10.0
+E0_MEAN, E0_AMP = 3.0, 2.0
+
+
+def synth_meteo(ta_mean=None, ta_amp=None, e0_mean=None, e0_amp=None,
+                meteo_dir=None):
     """Create /tmp meteo dir: link tp.nc, write synthetic ta.nc / e0.nc."""
     import h5py
 
-    os.makedirs(METEO_DIR, exist_ok=True)
-    dst = os.path.join(METEO_DIR, "tp.nc")
+    ta_mean = TA_MEAN if ta_mean is None else ta_mean
+    ta_amp = TA_AMP if ta_amp is None else ta_amp
+    e0_mean = E0_MEAN if e0_mean is None else e0_mean
+    e0_amp = E0_AMP if e0_amp is None else e0_amp
+    meteo_dir = meteo_dir or METEO_DIR
+    os.makedirs(meteo_dir, exist_ok=True)
+    dst = os.path.join(meteo_dir, "tp.nc")
     if not os.path.exists(dst):
         os.symlink(os.path.join(CASE, "meteo", "tp.nc"), dst)
+
+    # regenerate only when the parameters changed (marker file)
+    marker = os.path.join(meteo_dir, "synth_params.txt")
+    params = f"{ta_mean} {ta_amp} {e0_mean} {e0_amp}"
+    if os.path.exists(marker) and open(marker).read() == params:
+        return
 
     with h5py.File(os.path.join(CASE, "meteo", "tp.nc"), "r") as f:
         time = f["time"][...]
@@ -42,9 +62,9 @@ def synth_meteo():
     nt, ny, nx = len(time), len(lat), len(lon)
 
     def write(name, var, data):
-        path = os.path.join(METEO_DIR, name)
+        path = os.path.join(meteo_dir, name)
         if os.path.exists(path):
-            return
+            os.remove(path)
         with h5py.File(path, "w") as f:
             f.create_dataset("time", data=time)
             f["time"].attrs["units"] = time_units
@@ -57,12 +77,12 @@ def synth_meteo():
                                  chunks=(1, ny, nx))
             d.attrs["units"] = b"degC" if var == "ta" else b"mm"
 
-    # seasonal temperature: 12degC mean, +/-10 amplitude, peak mid-year
-    ta = (12.0 - 10.0 * np.cos(2 * np.pi * doy))[:, None, None] * np.ones((1, ny, nx))
-    # potential evaporation: 1..5 mm/day seasonal
-    e0 = (3.0 - 2.0 * np.cos(2 * np.pi * doy))[:, None, None] * np.ones((1, ny, nx))
+    ta = (ta_mean - ta_amp * np.cos(2 * np.pi * doy))[:, None, None] * np.ones((1, ny, nx))
+    e0 = np.maximum(e0_mean - e0_amp * np.cos(2 * np.pi * doy), 0.05)[:, None, None] * np.ones((1, ny, nx))
     write("ta.nc", "ta", ta)
     write("e0.nc", "e0", e0)
+    with open(marker, "w") as f:
+        f.write(params)
 
 
 def prerun(n_steps=None):

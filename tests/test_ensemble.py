@@ -38,7 +38,7 @@ def test_montecarlo_vmapped(runner, tmp_path):
 
     ens = EnsembleRunner(runner, n_members=4, seed=7)
     state, diag = ens.advance(range(3))
-    q = np.asarray(state["ChanQKin"])
+    q = np.asarray(state.get("ChanQKin", state.get("pk$ChanQKin")))
     assert q.shape[0] == 4
     assert np.isfinite(q).all()
     # members diverge (perturbed initial storages)
@@ -95,12 +95,14 @@ def test_enkf_analysis_pulls_towards_observations(runner):
 
     ens = EnsembleRunner(runner, n_members=8, seed=3, sigma=0.2)
     ens.advance(range(2))
-    q = np.asarray(ens.state["ChanQ"])
+    P = runner.config.num_pixels
+    q = ens._gauge_discharge(np.arange(P))
     # observe discharge at the 3 largest-flow pixels, with a target 20% above
     # the ensemble mean; the analysis must move the ensemble mean toward it
     obs_pix = np.argsort(q.mean(0))[-3:]
     target = q.mean(0)[obs_pix] * 1.2
     before = q.mean(0)[obs_pix]
     ens.enkf_analysis(target, obs_pix, obs_sigma=0.05 * target)
-    after = np.asarray(ens.state["ChanQKin"]).mean(0)[obs_pix]
+    after = np.asarray(runner.step_fn.natural_state(
+        dict(ens.state))["ChanQKin"]).mean(0)[obs_pix]
     assert np.all(np.abs(after - target) < np.abs(before - target) + 1e-9)

@@ -355,5 +355,5 @@ def test_wateruse_indicator_run(tmp_path):
             assert np.asarray(state["MonthDisM3"]).sum() >= prev_mdis.sum()
     assert saw_monthend, "run never crossed a month boundary"
     # discharge still sane with the whole abstraction chain active
-    q = np.asarray(state["ChanQ"])
+    q = np.asarray(r.step_fn.natural_state(state)["ChanQ"])
     assert np.isfinite(q).all() and (q >= 0).all() and q.max() > 0

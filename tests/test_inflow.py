@@ -79,8 +79,8 @@ def test_inflow_self_consistency(tmp_path):
     for i in range(n_steps):
         f = r_full.forcing_for(i, r_full.dates[i])
         state, diag = r_full.step_fn(state, f)
-        series.append(float(np.asarray(state["ChanQ"])[src_pix]))
-    state_full = state
+        series.append(float(np.asarray(diag["ChanQ"])[src_pix]))
+    state_full = r_full.step_fn.natural_state(state)
 
     # ---- write the inflow hydrograph (id 1 = inflow_point_1.nc) ----
     tss_path = tmp_path / "inflow.tss"

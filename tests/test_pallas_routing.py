@@ -35,10 +35,10 @@ def test_pallas_substep_loop_equivalent():
         cfg = dataclasses.replace(cfg, routing_pipeline=pipe)
         step, p = build_step(cfg, params, aux, dtype=jnp.float32)
         f32 = lambda v: jnp.asarray(v, jnp.float32 if np.asarray(v).dtype.kind == "f" else None)
-        s = {k: f32(v) for k, v in state.items()}
+        s = step.prepare_state({k: f32(v) for k, v in state.items()})
         f = {k: f32(v) for k, v in synthetic_forcing(cfg.num_pixels).items()}
         out, diag = step(s, f)
-        states[pipe] = out
+        states[pipe] = step.natural_state(out)
     # cancellation-amplified diagnostics: CrossSection2Area is
     # (Chan2M3Kin - Chan2M3Start)/dx with near-equal operands, and
     # Sideflow1Chan lives at ~1e-3 magnitudes — the XLA substeps-vs-
@@ -73,11 +73,11 @@ def test_pallas_substep_loop_equivalent_structures():
         cfg = dataclasses.replace(cfg, routing_pipeline=pipe)
         step, p = build_step(cfg, params, aux, dtype=jnp.float32)
         f32 = lambda v: jnp.asarray(v, jnp.float32 if np.asarray(v).dtype.kind == "f" else None)
-        s = {k: f32(v) for k, v in state.items()}
+        s = step.prepare_state({k: f32(v) for k, v in state.items()})
         f = {k: f32(v) for k, v in synthetic_forcing(cfg.num_pixels).items()}
         s, _ = step(s, f)
         s, _ = step(s, f)       # second step exercises the carried CC state
-        states[pipe] = s
+        states[pipe] = step.natural_state(s)
     # CrossSection2Area = (Chan2M3Kin - Chan2M3Start)/dx subtracts near-equal
     # ~1e4-scale operands down to ~1e-2: its error scale is the OPERAND
     # magnitude (the XLA-only substeps-vs-diagonal comparison of this exact

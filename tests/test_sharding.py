@@ -68,6 +68,8 @@ def test_real_model_sharded_equals_unsharded(tmp_path):
     for f in forcings:
         state, _ = step(state, f)
 
+    state_ref = runner.step_fn.natural_state(state_ref)
+    state = runner.step_fn.natural_state(state)
     for key in state_ref:
         a = np.asarray(state_ref[key])
         b = np.asarray(state[key])
