@@ -315,6 +315,32 @@ def build_schedule(graph: FlowGraph, chunk_size=256, order_graph=None) -> Routin
                            num_pixels=P, chunk_size=chunk_size)
 
 
+def direction_codes(downstream, flat_idx, nrows, ncols):
+    """Per-2D-cell LDD keypad code RECOMPUTED from a (possibly repaired)
+    downstream table: 0 where the pixel has no downstream (pit/missing).
+    Lets neighbour-transfer ops run as 2-D stencils (8 masked shifted
+    adds at HBM bandwidth) instead of segment-sum scatters — the TPU-native
+    formulation of PCRaster's upstream() on the raster grid."""
+    downstream = np.asarray(downstream)
+    flat_idx = np.asarray(flat_idx, np.int64)
+    codes2d = np.zeros(nrows * ncols, np.int8)
+    valid = downstream >= 0
+    src = flat_idx[valid]
+    tgt = flat_idx[downstream[valid]]
+    dr = tgt // ncols - src // ncols
+    dc = tgt % ncols - src % ncols
+    lut = {off: code for code, off in LDD_OFFSETS.items()}
+    codes = np.zeros(src.size, np.int8)
+    for (r_, c_), code in lut.items():
+        if code == PIT:
+            continue
+        codes[(dr == r_) & (dc == c_)] = code
+    # every edge must be grid-adjacent for the stencil to be exact
+    all_adjacent = bool((codes != 0).all())
+    codes2d[src] = codes
+    return codes2d, all_adjacent
+
+
 def window_total(values2d, window_cells):
     """PCRaster windowtotal on the 2-D grid: sum over a square window of
     `window_cells` x `window_cells` cells centred on each cell (used by

@@ -619,6 +619,16 @@ def build_model(settings, dtype=np.float64):
         down_eva[valid] = graph_eva.downstream[valid]
         params["downEva"] = down_eva
         params["maxNoEva"] = int(loader.load("maxNoEva"))
+        # 2-D stencil form of the chain's downstream transfer (8 masked
+        # shifted adds instead of a segment-sum scatter; ops/physics.
+        # scatter_down_stencil)
+        from ..graph.ldd import direction_codes
+        flat_idx = np.flatnonzero(grid.land_flat)
+        codes2d, adjacent = direction_codes(graph_eva.downstream, flat_idx,
+                                            grid.nrows, grid.ncols)
+        if adjacent:
+            params["evaDir2D"] = codes2d
+            params["landIdx"] = flat_idx.astype(np.int32)
         if option["varfractionwater"]:
             params["diffmaxwater"] = _field(loader.load("FracMaxWater"), P) - water_frac
             var_wno = [1, 32, 60, 91, 121, 152, 182, 213, 244, 274, 305, 335, 370]

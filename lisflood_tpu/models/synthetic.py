@@ -295,6 +295,12 @@ def build_synthetic_model(nrows=16, ncols=16, seed=0, no_rout_steps=4,
     if open_water:
         params["downEva"] = downstruct.copy()
         params["maxNoEva"] = 5
+        from ..graph.ldd import direction_codes
+        flat_idx = np.arange(P, dtype=np.int64)
+        codes2d, adjacent = direction_codes(graph.downstream, flat_idx, nrows, ncols)
+        if adjacent:
+            params["evaDir2D"] = codes2d
+            params["landIdx"] = flat_idx.astype(np.int32)
 
     state["TimeSinceStart"] = np.float64(0.0)
 

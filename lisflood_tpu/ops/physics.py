@@ -800,9 +800,41 @@ def evapowater_init_step(cfg, p, s, d):
     }
 
 
+# LDD keypad code -> (row shift, col shift), mirrored from graph/ldd.py
+_LDD_OFFSETS = {1: (1, -1), 2: (1, 0), 3: (1, 1), 4: (0, -1),
+                6: (0, 1), 7: (-1, -1), 8: (-1, 0), 9: (-1, 1)}
+
+
+def _shift2d(m, dr, dc):
+    """m shifted so out[r + dr, c + dc] = m[r, c] (zeros flow in)."""
+    R, C = m.shape
+    return jnp.pad(m, ((max(dr, 0), max(-dr, 0)), (max(dc, 0), max(-dc, 0))))[
+        max(-dr, 0):max(-dr, 0) + R, max(-dc, 0):max(-dc, 0) + C]
+
+
+def scatter_down_stencil(x, codes2d, land_idx, nrows, ncols):
+    """scatter_to_downstream as a 2-D LDD stencil: decompress, 8 masked
+    shifted adds at HBM bandwidth, compress. Numerically exact up to the
+    addition ORDER of multi-upstream cells (<= 8 fixed-order adds vs
+    segment_sum's grouping) — the TPU-native formulation of the
+    neighbour transfer; the segment-sum scatter costs ~7 ns/element."""
+    dtype = x.dtype
+    g = jnp.zeros(nrows * ncols, dtype).at[land_idx].set(x).reshape(nrows, ncols)
+    cd = codes2d.reshape(nrows, ncols)
+    out = jnp.zeros_like(g)
+    for code, (dr, dc) in _LDD_OFFSETS.items():
+        out = out + _shift2d(g * (cd == code), dr, dc)
+    return out.reshape(-1)[land_idx]
+
+
 def evapowater_step(cfg, p, s, d):
     """Open-water evaporation moved downstream (evapowater.py:123-159)."""
     P = cfg.num_pixels
+    if "evaDir2D" in p and cfg.grid_rows and cfg.grid_cols:
+        move_down = lambda x: scatter_down_stencil(
+            x, p["evaDir2D"], p["landIdx"], cfg.grid_rows, cfg.grid_cols)
+    else:
+        move_down = lambda x: scatter_to_downstream(x, p["downEva"], P)
     upstream_eva = d["EWRef"] * p["MMtoM3"] * d["WaterFraction"]
     chan_m_iter = d["ChanM3Kin"]
     chan_left = chan_m_iter * 0.1
@@ -812,7 +844,7 @@ def evapowater_step(cfg, p, s, d):
         eva_iter = jnp.maximum(upstream_eva - (chan_m_iter - chan_help), 0)
         chan_m_iter = chan_help
         eva_add = eva_add + upstream_eva - eva_iter
-        upstream_eva = scatter_to_downstream(eva_iter, p["downEva"], P)
+        upstream_eva = move_down(eva_iter)
     return {
         "EvaAddM3": eva_add,
         "EvaAddM3Dt": eva_add / cfg.no_rout_steps,

@@ -24,9 +24,18 @@ METEO_DIR = "/tmp/latlon_meteo"
 
 
 # synthesized seasonal ta/e0 parameters (mean, cosine amplitude), CALIBRATED
-# against the committed reference/dis_prerun.tss with the real tp.nc by
-# scripts/calibrate_latlon.py — the e0 magnitude sets the long-term runoff
-# ratio (P - ET), which the prerun discharge series pins down well.
+# against the committed reference artifacts with the real tp.nc
+# (scripts/calibrate_latlon.py + a 10-year prerun e0 sweep). The two
+# available targets disagree: e0=1.6 zeroes the long-term DISCHARGE bias
+# (-0.05% vs dis_prerun.tss) but blows the groundwater recharge up 4.3x
+# the committed lzavin.map (recharge is a sensitive residual of P-ET with
+# wetter soils percolating far more), while e0=3.0 holds the recharge
+# mass at 1.04x the reference with discharge bias only -1.8%. The
+# recharge chain is what the lat-lon gates certify, so 3.0 wins:
+#   measured at 3.0+/-2.0 over the 10-year prerun:
+#     lzavin  corr=0.633 mass ratio=1.043
+#     avgdis  corr=0.9999 discharge-weighted rel=0.085
+#   (e0=2.4: ratio 1.56; e0=1.6: ratio 4.31 — strongly identified)
 TA_MEAN, TA_AMP = 12.0, 10.0
 E0_MEAN, E0_AMP = 3.0, 2.0
 

@@ -92,3 +92,42 @@ def test_window_total():
     assert wt[2, 2] == a[1:4, 1:4].sum()
     # corner: only inside cells count
     assert wt[0, 0] == a[0:2, 0:2].sum()
+
+
+def test_scatter_down_stencil_equivalence():
+    """The 2-D LDD stencil form of the downstream transfer equals the
+    segment-sum scatter up to addition order (ops/physics.
+    scatter_down_stencil vs scatter_to_downstream), on a masked grid."""
+    import jax.numpy as jnp
+    from lisflood_tpu.graph.ldd import FlowGraph, direction_codes
+    from lisflood_tpu.ops.physics import scatter_down_stencil, scatter_to_downstream
+
+    rng = np.random.default_rng(4)
+    nrows, ncols = 13, 17
+    # random land mask + random adjacent drainage on land cells
+    land2d = rng.uniform(0, 1, (nrows, ncols)) < 0.7
+    flat_idx = np.flatnonzero(land2d.reshape(-1))
+    P = flat_idx.size
+    land_lookup = -np.ones(nrows * ncols, np.int64)
+    land_lookup[flat_idx] = np.arange(P)
+    downstream = np.full(P, -1, np.int32)
+    offs = [(1, 0), (0, 1), (1, 1), (-1, 1), (1, -1), (-1, 0), (0, -1), (-1, -1)]
+    for i, fl in enumerate(flat_idx):
+        r, c = divmod(int(fl), ncols)
+        rng.shuffle(offs)
+        for dr, dc in offs:
+            r2, c2 = r + dr, c + dc
+            if 0 <= r2 < nrows and 0 <= c2 < ncols and land_lookup[r2 * ncols + c2] >= 0:
+                # avoid 2-cycles at random; acyclicity is irrelevant for a
+                # single-hop transfer test
+                downstream[i] = land_lookup[r2 * ncols + c2]
+                break
+    codes2d, adjacent = direction_codes(downstream, flat_idx, nrows, ncols)
+    assert adjacent
+    down_sentinel = np.where(downstream >= 0, downstream, P).astype(np.int32)
+    x = jnp.asarray(rng.uniform(0, 10, P))
+    a = np.asarray(scatter_to_downstream(x, jnp.asarray(down_sentinel), P))
+    b = np.asarray(scatter_down_stencil(x, jnp.asarray(codes2d),
+                                        jnp.asarray(flat_idx.astype(np.int32)),
+                                        nrows, ncols))
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12)

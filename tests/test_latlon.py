@@ -56,13 +56,14 @@ def test_latlon_prerun_chain_oracle():
     consumes OUR OWN prerun outputs and must still hit the dis_short.tss
     envelope.
 
-    Committed tolerances (measured against both the full 32-year and the
-    10-year prerun with the synthesized ta/e0; tp.nc is real):
-    - avgdis: corr > 0.999 and discharge-weighted rel < 0.15 — the main
-      stem matches the reference to ~2-10%;
-    - lzavin: corr > 0.5 and mass ratio within [0.7, 1.4] — local
-      recharge is directly proportional to the synthesized evaporation,
-      so only bulk consistency is checkable in this environment;
+    Committed tolerances (tightened round 4 after the e0 sensitivity
+    sweep pinned the synthesized forcing: a 10-year prerun at the
+    committed e0=3.0+/-2.0 measures lzavin corr=0.633 / mass ratio=1.043
+    and avgdis wrel=0.085; e0=2.4 already drives the recharge ratio to
+    1.56 and e0=1.6 to 4.31, so these gates WOULD catch a recharge-chain
+    regression of that size):
+    - avgdis: corr > 0.999 and discharge-weighted rel < 0.12;
+    - lzavin: corr > 0.55 and mass ratio within [0.85, 1.25];
     - cold chain: first step within 0.5%, max 10%, corr > 0.95 vs the
       committed dis_short.tss (same envelope as the committed-init run).
     """
@@ -87,10 +88,10 @@ def test_latlon_prerun_chain_oracle():
     assert set(stats) == {"avgdis", "lzavin"}, out[-2000:]
     corr, wrel, _ = stats["avgdis"]
     assert corr > 0.999, f"avgdis corr {corr}"
-    assert wrel < 0.15, f"avgdis weighted rel {wrel}"
+    assert wrel < 0.12, f"avgdis weighted rel {wrel}"
     corr, _, ratio = stats["lzavin"]
-    assert corr > 0.5, f"lzavin corr {corr}"
-    assert 0.7 < ratio < 1.4, f"lzavin mass ratio {ratio}"
+    assert corr > 0.55, f"lzavin corr {corr}"
+    assert 0.85 < ratio < 1.25, f"lzavin mass ratio {ratio}"
 
     m = re.search(r"vs dis_short.tss: first_rel=([\d.]+) max_rel=([\d.]+) corr=([\d.]+)", out)
     assert m, out[-2000:]
