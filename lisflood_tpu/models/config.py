@@ -54,6 +54,12 @@ class ModelConfig:
     # (wavefront-pipelined over substep+chunk diagonals, ~NoRoutSteps x
     # fewer sequential iterations), or 'pallas' (fused Mosaic kernel)
     routing_pipeline: str = "auto"
+    # open-water evaporation chain formulation: the 2-D LDD stencil form
+    # (ops/physics.scatter_down_stencil) wins in isolation but measured
+    # +27 ms/step SLOWER than the segment-sum scatter inside the full
+    # continental step graph (XLA scheduling interaction) — default off,
+    # selectable via the EvaStencil binding for small/latency-bound grids
+    eva_stencil: bool = False
     # discretisation
     no_rout_steps: int = 24
     dt_sec: float = 86400.0
@@ -119,6 +125,7 @@ class ModelConfig:
                            if str(settings.binding.get("RoutingKernel", "packed")) == "sharded"
                            else 1),
             routing_pipeline=str(settings.binding.get("RoutingPipeline", "auto")),
+            eva_stencil=str(settings.binding.get("EvaStencil", "False")) == "True",
             no_rout_steps=no_rout,
             dt_sec=dt_sec,
         )

@@ -113,15 +113,23 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
     import sys
     if sys.getrecursionlimit() < 20000:
         sys.setrecursionlimit(20000)     # deep trace: B-unrolled chunk chain
-    B = 8            # chunks per grid step (sublane tiling requires >=8)
+    # chunks per grid step: >=8 (sublane tiling) AND a multiple of the
+    # rotating-window modulus W+1, so every chunk's window SLOT index
+    # (c mod (W+1)) is a STATIC value of its in-block position b — the
+    # rolling inflow window then needs NO data movement per chunk (the
+    # round-3 kernel's double-buffered shift copied 2 x (T*L, W*C) VMEM
+    # per chunk, measured as the largest in-kernel cost)
+    import math
+    S = W + 1
+    B = 8 * S // math.gcd(8, S)
     n_blocks = (n_chunks + B - 1) // B
 
     def kernel(*refs):
         ins = dict(zip(in_names, refs[: len(in_names)]))
         outs = dict(zip(out_names, refs[len(in_names): len(in_names) + len(out_names)]))
         scratch = list(refs[len(in_names) + len(out_names):])
-        win, win2, Q = scratch[:3]
-        scratch = scratch[3:]
+        win, Q = scratch[:2]
+        scratch = scratch[2:]
         if lakes or reservoirs:
             chanq_buf = scratch.pop(0)       # (Tp, C) per-chunk sub-step chanq
             side_add = scratch.pop(0)        # (Tp, C) structure sideflow rows
@@ -159,6 +167,9 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                  if k not in ("dl",) and not k.startswith(("lk_", "rs_"))}
             dl = ins["dl"][b:b + 1][0]
             inv_dx = 1.0 / x["dx"]
+            # rotating window slot of this chunk — STATIC because
+            # B % (W+1) == 0 makes (pid*B + b) % (W+1) == b % (W+1)
+            sc = b % S
 
             if lakes or reservoirs:
                 side_add[:] = jnp.zeros((Tp, C), dtype)
@@ -306,7 +317,7 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                 sideflow = jnp.where(jnp.isnan(sideflow), 0.0, sideflow)
 
                 if not split:
-                    ups = win[t:t + 1, :C]
+                    ups = win[t:t + 1, sc * C:(sc + 1) * C]
                     cc_const = ups + x["adx1"] * q1 ** beta + sideflow * x["dx"]
                     q = _newton_unrolled(cc_const, x["adx1"], beta)
                     Q[t:t + 1, :] = q
@@ -324,7 +335,7 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                     q_in = jnp.concatenate([q1, q2], axis=0)
                     lat = jnp.concatenate([sideflow1, sideflow2], axis=0) * x["dx"]
                     adx = jnp.concatenate([x["adx1"], x["adx2"]], axis=0)
-                    ups = win[t * L:(t + 1) * L, :C]
+                    ups = win[t * L:(t + 1) * L, sc * C:(sc + 1) * C]
                     cc_const = ups + adx * q_in ** beta + lat
                     q = _newton_unrolled(cc_const, adx, beta)
                     Q[t * L:(t + 1) * L, :] = q
@@ -351,17 +362,20 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                 carry = substep(t, carry)
             q1, m31, chanq, q2, m32, cross2, side1, sumdis, trans_acc = carry
 
-            # shared scatter for all T sub-steps (VMEM one-hot, MXU matmul)
+            # shared scatter for all T sub-steps (VMEM one-hot, MXU matmul):
+            # window-local offset k*C+lane targets chunk c+1+k -> slot
+            # (b+1+k) % S, all static — no window shift, just W slot adds
+            # and a zero of the vacated slot
             onehot = (dl[:, None] == jax.lax.broadcasted_iota(
                 jnp.int32, (C, W * C), 1)).astype(dtype)
             add = jax.lax.dot(Q[:], onehot, precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=dtype)
-            # double-buffered shift: an in-place `win[:] = shift(win) + add`
-            # lets Mosaic tile the write over the aliased read region and
-            # corrupts the carry at large W*C (observed on-chip)
-            win2[:] = jnp.concatenate(
-                [win[:, C:], jnp.zeros((T * L, C), dtype)], axis=1) + add
-            win[:] = win2[:]
+            for k in range(W):
+                sk = (b + 1 + k) % S
+                win[:, sk * C:(sk + 1) * C] = (
+                    win[:, sk * C:(sk + 1) * C] + add[:, k * C:(k + 1) * C])
+            # this chunk's slot becomes chunk c+S's accumulator
+            win[:, sc * C:(sc + 1) * C] = jnp.zeros((T * L, C), dtype)
 
             # ---- feeder staging: this chunk's sub-step discharges feed
             # downstream structures' inflow buffers (rows 1..T) ----
@@ -465,8 +479,7 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
             out_shape.append(jax.ShapeDtypeStruct((n_pad, C), dtype))
 
     scratch_shapes = [
-        pltpu.VMEM((T * L, W * C), dtype),     # rolling inflow window
-        pltpu.VMEM((T * L, W * C), dtype),     # shift double-buffer
+        pltpu.VMEM((T * L, S * C), dtype),     # rotating inflow window
         pltpu.VMEM((T * L, C), dtype),         # collected sub-step q rows
     ]
     if lakes or reservoirs:
