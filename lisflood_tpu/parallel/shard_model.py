@@ -17,18 +17,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from ..models.step import build_step
 
 
-def pixel_sharding(mesh, arr, num_pixels):
-    """NamedSharding for an array whose trailing axis is the pixel axis."""
+def pixel_sharding(mesh, arr, num_pixels, p_pad=None):
+    """NamedSharding for an array whose trailing axis is the pixel axis
+    (natural P or, for pk$ packed routing state, the padded position
+    space p_pad)."""
     if getattr(arr, "ndim", 0) == 0:
         return NamedSharding(mesh, PartitionSpec())
-    if arr.shape[-1] == num_pixels:
+    if arr.shape[-1] == num_pixels or (p_pad and arr.shape[-1] == p_pad):
         spec = [None] * (arr.ndim - 1) + ["pixels"]
         return NamedSharding(mesh, PartitionSpec(*spec))
     return NamedSharding(mesh, PartitionSpec())
 
 
-def shard_tree(mesh, tree, num_pixels):
-    return {k: jax.device_put(jnp.asarray(v), pixel_sharding(mesh, np.asarray(v), num_pixels))
+def shard_tree(mesh, tree, num_pixels, p_pad=None):
+    return {k: jax.device_put(jnp.asarray(v),
+                              pixel_sharding(mesh, np.asarray(v), num_pixels, p_pad))
             for k, v in tree.items()}
 
 
@@ -51,12 +54,16 @@ def shard_runner_step(runner, mesh):
     pads uneven trailing shards transparently) rather than `device_put`.
     """
     P = runner.config.num_pixels
+    routers = getattr(runner.step_fn, "routers", None)
+    p_pad = getattr(getattr(routers.get("kin"), "ps", None), "p_pad", None) \
+        if isinstance(routers, dict) else None
 
     def constrain(tree):
         out = {}
         for k, v in tree.items():
             arr = jnp.asarray(v) if not isinstance(v, (int, float)) else v
-            if getattr(arr, "ndim", 0) >= 1 and arr.shape[-1] == P:
+            if getattr(arr, "ndim", 0) >= 1 and (
+                    arr.shape[-1] == P or (p_pad and arr.shape[-1] == p_pad)):
                 spec = [None] * (arr.ndim - 1) + ["pixels"]
                 arr = jax.lax.with_sharding_constraint(
                     arr, NamedSharding(mesh, PartitionSpec(*spec)))
@@ -88,10 +95,12 @@ def build_sharded_model_step(mesh, nrows=16, ncols=16, dtype=jnp.float32,
                                   num_shards=num_shards or len(mesh.devices.flat))
     step_fn, p = build_step(cfg, params, aux, dtype=dtype)
     P = cfg.num_pixels
-    # packed-router state contract (pk$ keys); the p_pad-sized packed
-    # entries are replicated by pixel_sharding (trailing dim != P)
+    # packed-router state contract (pk$ keys, p_pad-sized) — sharded over
+    # the pixel mesh axis like the natural vectors
     state = step_fn.prepare_state(state)
-    state_sharded = shard_tree(mesh, state, P)
+    p_pad = getattr(getattr(step_fn.routers.get("kin"), "ps", None), "p_pad", None) \
+        if isinstance(step_fn.routers, dict) else None
+    state_sharded = shard_tree(mesh, state, P, p_pad)
     forcing = synthetic_forcing(P)
     forcing_sharded = shard_tree(mesh, forcing, P)
     return step_fn, state_sharded, forcing_sharded, cfg
