@@ -114,8 +114,9 @@ def bench_continental(nrows=1200, ncols=1000, n_steps=5, chunk_size=512):
     s, d = step(s, forcing)
     jax.block_until_ready(s)
     routers = build_routers(cfg, aux)
-    _, feeders_earlier = packed_routing_params(cfg, params, routers["kin"].ps)
+    _, feeders_earlier, eva_ok = packed_routing_params(cfg, params, routers["kin"].ps)
     routers["kin"].struct_feeders_earlier = feeders_earlier
+    routers["kin"].eva_window_ok = eva_ok
     p = step.params
     pa = {k: v for k, v in p.items() if isinstance(v, jax.Array)}
     p_sc = {k: v for k, v in p.items() if not isinstance(v, jax.Array)}

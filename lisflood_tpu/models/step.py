@@ -56,6 +56,8 @@ def packed_routing_keys(cfg):
         keys += ["Chan2QKin", "Chan2M3Kin", "CrossSection2Area", "Sideflow1Chan"]
     if cfg.trans_loss:
         keys += ["TransCum"]
+    if cfg.open_water_evapo:
+        keys += ["EvaCumM3"]
     return keys
 
 
@@ -203,7 +205,31 @@ def packed_routing_params(cfg, params_np, ps):
     if cfg.simulate_reservoirs and not cfg.init_lisflood:
         out["kinp$ResPos"] = ps.inv_perm[np.asarray(params_np["ReservoirIndex"], np.int64)].astype(np.int32)
         out["kinp$ResUpsIdx"], out["kinp$ResUpsW"] = ups_gather(params_np["ReservoirIndex"])
-    return out, feeders_earlier[0]
+
+    # open-water evaporation chain as an in-kernel wavefront (the eva
+    # graph's edges are a subset of the PRE-CUT channel graph the schedule
+    # was chunked against, so they fit the same W-chunk windows): local
+    # window offsets like ps.down_local, W*C sentinel = no transfer
+    eva_window_ok = False
+    if cfg.open_water_evapo and "downEva" in params_np:
+        down_eva = np.asarray(params_np["downEva"], np.int64)      # (P,), P = pit
+        sentinel = ps.window * ps.chunk
+        eva_dl = np.full(ps.p_pad, sentinel, dtype=np.int32)
+        pos = np.flatnonzero(real)
+        tgt = down_eva[pix]
+        has_t = tgt < P
+        tgt_pos = ps.inv_perm[tgt[has_t]]
+        src_chunk = pos[has_t] // ps.chunk
+        delta = tgt_pos // ps.chunk - src_chunk
+        if has_t.any() and delta.size and 1 <= delta.min() and delta.max() <= ps.window:
+            local = tgt_pos - (src_chunk + 1) * ps.chunk
+            eva_dl[pos[has_t]] = local.astype(np.int32)
+            out["kinp$EvaDownLocal"] = eva_dl
+            eva_window_ok = True
+        elif not has_t.any():
+            out["kinp$EvaDownLocal"] = eva_dl
+            eva_window_ok = True
+    return out, feeders_earlier[0], eva_window_ok
 
 
 def prepare_state(cfg, routers, state):
@@ -258,8 +284,10 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
 
     routers = build_routers(cfg, aux)
     if hasattr(routers["kin"], "ps"):
-        kinp, feeders_earlier = packed_routing_params(cfg, params_np, routers["kin"].ps)
+        kinp, feeders_earlier, eva_window_ok = packed_routing_params(
+            cfg, params_np, routers["kin"].ps)
         routers["kin"].struct_feeders_earlier = feeders_earlier
+        routers["kin"].eva_window_ok = eva_window_ok
         for k, v in kinp.items():
             p[k] = jnp.asarray(v, dtype if v.dtype.kind == "f" else None)
     ncatch = cfg.num_catchments
@@ -273,6 +301,8 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
     p_arrays = {k: v for k, v in p.items() if isinstance(v, jax.Array)}
 
     packed_state = uses_packed_state(cfg)
+    from ..ops.routing_ops import pallas_eva_active
+    pallas_eva = pallas_eva_active(cfg, routers, dtype)
 
     def step_impl(pa, s, f):
         p = {**p_scalars, **pa}
@@ -361,9 +391,22 @@ def build_step(cfg, params_np, aux, dtype=jnp.float64):
 
         # open water evaporation
         if cfg.open_water_evapo:
-            eva_d = dict(d)
-            eva_d["ChanM3Kin"] = s_nat("ChanM3Kin")
-            d.update(ph.evapowater_step(cfg, p, s, eva_d))
+            if pallas_eva:
+                # the chain runs INSIDE the Mosaic routing kernel
+                # (ops/kinwave_pallas.py eva phase): hand it the own-pixel
+                # potential evaporation; outputs come back from routing
+                d["EvaUpstream0"] = d["EWRef"] * p["MMtoM3"] * d["WaterFraction"]
+            else:
+                eva_d = dict(d)
+                eva_d["ChanM3Kin"] = s_nat("ChanM3Kin")
+                s_eva = dict(s)
+                if packed_state:
+                    s_eva["EvaCumM3"] = routers["kin"].unpack(s["pk$EvaCumM3"])
+                out_eva = ph.evapowater_step(cfg, p, s_eva, eva_d)
+                if packed_state:
+                    out_eva["pk$EvaCumM3"] = (
+                        s["pk$EvaCumM3"] + routers["kin"].pack(out_eva["EvaAddM3"]))
+                d.update(out_eva)
 
         # surface routing
         d.update(surface_routing_step(cfg, p, s, d, routers))

@@ -64,6 +64,8 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
     split = bool(has.get("split"))
     lakes = bool(has.get("lakes"))
     reservoirs = bool(has.get("reservoirs"))
+    eva_chain = bool(has.get("eva_chain"))
+    E = int(cfg.max_no_eva) if eva_chain else 0
     L = 2 if split else 1
     beta = float(beta)
     dt_r = float(cfg.dt_routing)
@@ -71,9 +73,12 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
     NLp = _rnd(max(cfg.num_lakes, 1), 128) if lakes else 0
     NRp = _rnd(max(cfg.num_reservoirs, 1), 128) if reservoirs else 0
     Tp = _rnd(T + 1, 8)
+    Ep = _rnd(max(E, 1), 8)
 
     in_names = ["ToChan", "dx", "adx1", "alpha1", "ischan", "dl",
                 "q1_0", "m31_0", "chanq_0"]
+    if eva_chain:
+        in_names += ["ev_up0", "ev_dl"]
     if split:
         in_names += ["adx2", "alpha2", "qlimit", "m3limit", "chan2m3start",
                      "chan2qstart", "q2_0", "m32_0"]
@@ -102,6 +107,8 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
         out_names += ["q2", "m32", "cross2", "side1"]
     if has.get("uptrans"):
         out_names.append("trans")
+    if eva_chain:
+        out_names.append("ev_add")
     lake_outs = ["lk_st", "lk_inold", "lk_in", "lk_out", "lk_bal",
                  "lk_level", "lk_sumin", "lk_sumout"]
     res_outs = ["rs_st", "rs_fill", "rs_sumin", "rs_sumout"]
@@ -130,6 +137,9 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
         scratch = list(refs[len(in_names) + len(out_names):])
         win, Q = scratch[:2]
         scratch = scratch[2:]
+        if eva_chain:
+            ev_win = scratch.pop(0)          # (Ep, S*C) hop-arrival window
+            Q_ev = scratch.pop(0)            # (Ep, C) hop transfer rows
         if lakes or reservoirs:
             chanq_buf = scratch.pop(0)       # (Tp, C) per-chunk sub-step chanq
             side_add = scratch.pop(0)        # (Tp, C) structure sideflow rows
@@ -143,6 +153,9 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
         @pl.when(pl.program_id(0) == 0)
         def _():
             win[:] = jnp.zeros_like(win)
+            if eva_chain:
+                ev_win[:] = jnp.zeros_like(ev_win)
+                Q_ev[:] = jnp.zeros_like(Q_ev)
             if lakes:
                 buf_lake[:] = jnp.zeros_like(buf_lake)
                 buf_lake[0:1, :] = ins["lk_buf0"][:]
@@ -170,6 +183,40 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
             # rotating window slot of this chunk — STATIC because
             # B % (W+1) == 0 makes (pid*B + b) % (W+1) == b % (W+1)
             sc = b % S
+
+            # ---- open-water evaporation chain (evapowater.py:123-159):
+            # isomorphic to the routing sub-step loop — per-chunk
+            # absorption math, downstream transfers ride their own
+            # rotating window (eva edges are a subset of the pre-cut
+            # graph, so they fit the same W-chunk windows) ----
+            if eva_chain:
+                ev_dl = ins["ev_dl"][b:b + 1][0]
+                chan_m = x["m31_0"]
+                chan_left = chan_m * 0.1
+                eva_add = jnp.zeros((1, C), dtype)
+                for t in range(E):
+                    up = (x["ev_up0"] if t == 0
+                          else ev_win[t:t + 1, sc * C:(sc + 1) * C])
+                    chan_help = jnp.maximum(chan_m - up, chan_left)
+                    ev_it = jnp.maximum(up - (chan_m - chan_help), 0.0)
+                    chan_m = chan_help
+                    eva_add = eva_add + up - ev_it
+                    if t < E - 1:
+                        Q_ev[t:t + 1, :] = ev_it
+                onehot_e = (ev_dl[:, None] == jax.lax.broadcasted_iota(
+                    jnp.int32, (C, W * C), 1)).astype(dtype)
+                add_e = jax.lax.dot(Q_ev[:], onehot_e,
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=dtype)
+                for k in range(W):
+                    sk = (b + 1 + k) % S
+                    # hop-t transfers arrive for hop t+1 (window row t+1)
+                    ev_win[1:E, sk * C:(sk + 1) * C] = (
+                        ev_win[1:E, sk * C:(sk + 1) * C]
+                        + add_e[0:E - 1, k * C:(k + 1) * C])
+                ev_win[:, sc * C:(sc + 1) * C] = jnp.zeros((Ep, C), dtype)
+                outs["ev_add"][b:b + 1] = eva_add
+                eva_dt = eva_add * (1.0 / T)
 
             if lakes or reservoirs:
                 side_add[:] = jnp.zeros((Tp, C), dtype)
@@ -298,6 +345,8 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                 sideflow_m3 = x["ToChan"]
                 if has.get("eva"):
                     sideflow_m3 = sideflow_m3 - x["eva"]
+                if eva_chain:
+                    sideflow_m3 = sideflow_m3 - eva_dt
                 if has.get("wuse"):
                     sideflow_m3 = sideflow_m3 - x["wuse"]
                 if has.get("qin_old"):
@@ -482,6 +531,9 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
         pltpu.VMEM((T * L, S * C), dtype),     # rotating inflow window
         pltpu.VMEM((T * L, C), dtype),         # collected sub-step q rows
     ]
+    if eva_chain:
+        scratch_shapes += [pltpu.VMEM((Ep, S * C), dtype),   # eva arrivals
+                           pltpu.VMEM((Ep, C), dtype)]       # eva transfers
     if lakes or reservoirs:
         scratch_shapes += [pltpu.VMEM((Tp, C), dtype),    # chanq rows
                            pltpu.VMEM((Tp, C), dtype)]    # structure sideflow
@@ -507,7 +559,7 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
         args = []
         for k in in_names:
             v = xs[k]
-            is_int = k == "dl" or k.endswith(("_lane", "_flag", "_fee_lane"))
+            is_int = k in ("dl", "ev_dl") or k.endswith(("_lane", "_flag", "_fee_lane"))
             v = v.astype(jnp.int32) if is_int else v.astype(dtype)
             if k.startswith(("lk_", "rs_")):
                 shape = struct_shapes[k]
@@ -520,8 +572,8 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
             else:
                 # pad the chunk axis to a full block; dl pads with the
                 # sentinel (no scatter), everything else with inert values
-                fill = W * C if k == "dl" else (1.0 if k in ("dx", "adx1", "alpha1",
-                                                             "adx2", "alpha2") else 0.0)
+                fill = W * C if k in ("dl", "ev_dl") else (
+                    1.0 if k in ("dx", "adx1", "alpha1", "adx2", "alpha2") else 0.0)
                 v = jnp.pad(v, ((0, n_pad - n_chunks), (0, 0)), constant_values=fill)
             args.append(v)
         # the framework enables x64 globally; Mosaic has no 64-bit types —

@@ -139,6 +139,49 @@ def _reservoir_substep_cc(cfg, p, carry, inflow_cc):
     return updates, q_out_m3
 
 
+def resolve_pipeline(cfg, routers, dtype):
+    """Static (trace-time) sub-step pipeline resolution, shared by
+    channel_routing and the step assembly (models/step.py consults it to
+    decide whether the Mosaic kernel also absorbs the open-water
+    evaporation chain). 'auto' picks the fastest equivalence-gated path:
+    the fused Mosaic kernel when it applies (float32 — Mosaic has no f64,
+    and a Precision=double run must not silently degrade — on a real TPU;
+    interpret mode is only for explicit RoutingPipeline=pallas testing),
+    else the wavefront-pipelined diagonal loop, else the sequential
+    sub-step scan."""
+    kin = routers["kin"]
+    packed = hasattr(kin, "route_packed") and hasattr(kin, "ps")
+    structs = ((cfg.simulate_lakes or cfg.simulate_reservoirs)
+               and not cfg.init_lisflood)
+    pipelineable = (packed and cfg.no_rout_steps > 1
+                    and not getattr(kin, "no_edges", True)
+                    and getattr(kin.ps, "n_shards", 1) == 1
+                    and (not structs
+                         or getattr(kin, "struct_feeders_earlier", False)))
+    can_pallas = pipelineable and dtype == jnp.float32
+    pipeline = cfg.routing_pipeline
+    if pipeline == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        pipeline = ("pallas" if can_pallas and on_tpu
+                    else ("diagonal" if pipelineable else "substeps"))
+    if pipeline == "pallas" and can_pallas:
+        return "pallas"
+    if pipeline in ("diagonal", "pallas") and pipelineable:
+        return "diagonal"
+    return "substeps"
+
+
+def pallas_eva_active(cfg, routers, dtype):
+    """Whether the open-water evaporation chain runs INSIDE the Mosaic
+    sub-step kernel (its downstream transfers ride the kernel's chunk
+    windows instead of full-grid segment-sum scatters — profiled ~42
+    ms/step at continental scale). Requires the eva graph's edges to fit
+    the schedule windows (models/step.packed_routing_params checks)."""
+    return (cfg.open_water_evapo and not cfg.init_lisflood
+            and resolve_pipeline(cfg, routers, dtype) == "pallas"
+            and getattr(routers["kin"], "eva_window_ok", False))
+
+
 def channel_routing(cfg, p, s, d, routers):
     """The NoRoutSteps sub-step loop (Lisflood_dynamic.py:176-230 +
     routing.py:435-706) as a lax.scan; returns end-of-step state and
@@ -159,28 +202,10 @@ def channel_routing(cfg, p, s, d, routers):
     dtype = (s["pk$ChanQKin"] if packed_state else s["ChanQKin"]).dtype
     kin = routers["kin"]
     packed = "kinp$ChanLength" in p and hasattr(kin, "route_packed")
-    structs = ((cfg.simulate_lakes or cfg.simulate_reservoirs)
-               and not cfg.init_lisflood)
-    # Pipeline dispatch. 'auto' picks the fastest equivalence-gated path for
-    # this configuration: the fused Mosaic kernel when it applies (float32 —
-    # Mosaic has no f64, and a Precision=double run must not silently
-    # degrade — on a real TPU; interpret mode is only for explicit
-    # RoutingPipeline=pallas testing), else the wavefront-pipelined diagonal
-    # loop, else the sequential sub-step scan.
-    pipelineable = (packed and cfg.no_rout_steps > 1
-                    and not getattr(kin, "no_edges", True)
-                    and getattr(kin.ps, "n_shards", 1) == 1
-                    and (not structs
-                         or getattr(kin, "struct_feeders_earlier", False)))
-    can_pallas = pipelineable and dtype == jnp.float32
-    pipeline = cfg.routing_pipeline
-    if pipeline == "auto":
-        on_tpu = jax.devices()[0].platform == "tpu"
-        pipeline = ("pallas" if can_pallas and on_tpu
-                    else ("diagonal" if pipelineable else "substeps"))
-    if pipeline == "pallas" and can_pallas:
+    pipeline = resolve_pipeline(cfg, routers, dtype)
+    if pipeline == "pallas":
         return channel_routing_pallas(cfg, p, s, d, routers)
-    if pipeline in ("diagonal", "pallas") and pipelineable:
+    if pipeline == "diagonal":
         return channel_routing_pipelined(cfg, p, s, d, routers)
     if packed:
         pk = lambda name: p["kinp$" + name]
@@ -842,7 +867,15 @@ def channel_routing_pallas(cfg, p, s, d, routers):
             "q2_0": c2(spk("Chan2QKin")),
             "m32_0": c2(spk("Chan2M3Kin")),
         })
-    if cfg.open_water_evapo:
+    eva_chain = "EvaUpstream0" in d
+    if eva_chain:
+        # the whole evaporation chain runs in-kernel (see kinwave_pallas
+        # eva phase); its transfers use the eva graph's packed window
+        # offsets and its result feeds the sideflow directly
+        has["eva_chain"] = True
+        xs["ev_up0"] = c2(pack(d["EvaUpstream0"]))
+        xs["ev_dl"] = pk("EvaDownLocal").reshape(n_chunks, C)
+    elif cfg.open_water_evapo:
         xs["eva"] = c2(pack(d["EvaAddM3Dt"]))
         has["eva"] = True
     if cfg.water_use:
@@ -966,7 +999,9 @@ def channel_routing_pallas(cfg, p, s, d, routers):
         if cfg.inflow:
             added = added + ct(out_carry["QinADDEDM3"])
         if cfg.open_water_evapo:
-            added = added - T * ct(d["EvaAddM3Dt"])
+            eva_dt_nat = (unpack(ys["ev_add"].reshape(-1)).astype(dtype) / T
+                          if eva_chain else d["EvaAddM3Dt"])
+            added = added - T * ct(eva_dt_nat)
         if cfg.water_use:
             added = added - T * ct(d["withdrawal_CH_actual_M3_routStep"]
                                    - d["returnflow_GwAbs2Channel_M3_routStep"])
@@ -984,5 +1019,18 @@ def channel_routing_pallas(cfg, p, s, d, routers):
             "ReservoirStorageM3CC": take("rs_st"), "ReservoirFillCC": take("rs_fill"),
             "sumResInCC": take("rs_sumin"), "sumResOutCC": take("rs_sumout")})
     if packed_state:
-        return _post_routing_packed(cfg, p, s, d, out_carry, routers)
-    return _post_routing(cfg, p, s, d, out_carry, dtype)
+        out = _post_routing_packed(cfg, p, s, d, out_carry, routers)
+    else:
+        out = _post_routing(cfg, p, s, d, out_carry, dtype)
+    if eva_chain:
+        eva_p = ys["ev_add"].reshape(-1).astype(dtype)
+        eva_nat = unpack(eva_p)          # diagnostic view (DCE-able)
+        out["EvaAddM3"] = eva_nat
+        out["EvaAddM3Dt"] = eva_nat / T
+        out["EvaWBM3"] = eva_nat
+        if packed_state:
+            out["pk$EvaCumM3"] = s["pk$EvaCumM3"] + eva_p
+            out["EvaCumM3"] = unpack(out["pk$EvaCumM3"])
+        else:
+            out["EvaCumM3"] = s["EvaCumM3"] + eva_nat
+    return out
