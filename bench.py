@@ -157,6 +157,38 @@ def bench_continental(nrows=1200, ncols=1000, n_steps=5, chunk_size=512):
     return cfg.num_pixels * n_steps / elapsed, elapsed / n_steps, phases
 
 
+def bench_f64(nrows=1200, ncols=1000, n_steps=3, chunk_size=512):
+    """Float64 continental headline — the reference-parity precision.
+
+    Run in a subprocess with JAX_ENABLE_X64=1 (`bench.py --f64`): Mosaic
+    has no f64, so RoutingPipeline=auto resolves to the diagonal XLA
+    sub-step loop; everything else (packed state, scanned production
+    driver) matches the f32 headline path. This is what a
+    `Precision=double` user actually gets on TPU (f64 is
+    software-emulated on the VPU)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from lisflood_tpu.models.synthetic import build_synthetic_model, synthetic_forcing
+    from lisflood_tpu.models.step import build_multi_step
+
+    cfg, params, state, aux = build_synthetic_model(
+        nrows=nrows, ncols=ncols, no_rout_steps=24, chunk_size=chunk_size)
+    multi, _ = build_multi_step(cfg, params, aux, output_keys=("ChanQAvg",),
+                                dtype=jnp.float64)
+    f64 = lambda v: jnp.asarray(v, jnp.float64 if np.asarray(v).dtype.kind == "f" else None)
+    state = multi.prepare_state({k: f64(v) for k, v in state.items()})
+    forcing = {k: f64(v) for k, v in synthetic_forcing(cfg.num_pixels).items()}
+    stack = {k: jnp.stack([v] * n_steps) for k, v in forcing.items()}
+    s, outs = multi(state, stack)
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    s, outs = multi(s, stack)
+    jax.block_until_ready(outs)
+    elapsed = time.perf_counter() - t0
+    return cfg.num_pixels * n_steps / elapsed, elapsed / n_steps
+
+
 def bench_scaling(devices, nrows=800, ncols=800, n_steps=3):
     """Multi-device scaling on a virtual CPU mesh (or real devices when
     available): full model step with the subcatchment-sharded routing
@@ -208,7 +240,43 @@ def bench_scaling(devices, nrows=800, ncols=800, n_steps=3):
     return results, eff, comm
 
 
+def _subprocess_json(args, env_extra, timeout_s=900):
+    """Run `bench.py <args>` in a subprocess and parse its JSON line;
+    returns None on any failure (a bench sub-measurement must never sink
+    the headline)."""
+    import subprocess
+    env = dict(os.environ)
+    env.update(env_extra)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + list(args),
+            capture_output=True, text=True, timeout=timeout_s, env=env)
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--f64":
+        os.environ["JAX_ENABLE_X64"] = "1"
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        value, per_step = bench_f64()
+        print(json.dumps({
+            "metric": "f64 continental (reference-parity precision, diagonal XLA pipeline)",
+            "value": round(value, 1), "unit": "cells*steps/s",
+            "vs_baseline": round(value / BASELINE_CELLS_STEPS_PER_S, 3),
+            "seconds_per_step": round(per_step, 5),
+            "platform": jax.devices()[0].platform,
+        }))
+        return
     if len(sys.argv) > 2 and sys.argv[1] == "--devices":
         n = int(sys.argv[2])
         # virtual CPU mesh: the single-chip environment cannot host an
@@ -257,6 +325,25 @@ def main():
 
     big_value, big_per_step, phases = bench_continental()
     small_value, small_per_step = bench_etrs89()
+
+    # f64 (reference-parity precision) headline: subprocess, x64 enabled
+    f64_res = _subprocess_json(["--f64"], {"JAX_ENABLE_X64": "1"})
+    # multi-device scaling datapoint (virtual CPU mesh) + comm model:
+    # recorded every round so the trend is visible (VERDICT r4 item 7)
+    scal_res = None if os.environ.get("BENCH_SKIP_SCALING") else _subprocess_json(
+        ["--devices", "8"], {"JAX_PLATFORMS": "cpu"})
+    extras = {}
+    if f64_res:
+        extras["f64_value"] = f64_res["value"]
+        extras["f64_seconds_per_step"] = f64_res["seconds_per_step"]
+        extras["f64_vs_baseline"] = f64_res["vs_baseline"]
+    if scal_res:
+        extras["scaling"] = {
+            "devices": scal_res["devices"],
+            "scaling_efficiency": scal_res["scaling_efficiency"],
+            "partition_comm": scal_res["partition_comm"],
+            "note": scal_res.get("note", ""),
+        }
     print(json.dumps({
         "metric": "grid-cells*steps/s per chip (full lisflood step, 1.2M-pixel continental grid, 24 routing sub-steps)",
         "value": round(big_value, 1),
@@ -276,6 +363,7 @@ def main():
         "etrs89_value": round(small_value, 1),
         "etrs89_vs_baseline": round(small_value / BASELINE_CELLS_STEPS_PER_S, 3),
         "etrs89_seconds_per_step": round(small_per_step, 5),
+        **extras,
     }))
 
 

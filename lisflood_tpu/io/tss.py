@@ -43,7 +43,12 @@ class TssWriter:
     Rows normally arrive with increasing step numbers and are APPENDED
     incrementally (re-flushing every `flush_every` samples and at
     close-time `flush()`); an out-of-order or overwritten step falls back
-    to a full rewrite, preserving exact reference file layout."""
+    to a full rewrite, preserving exact reference file layout.
+
+    Memory is bounded: rows already on disk are dropped from the buffer
+    after each flush (a 32-year sub-daily run would otherwise retain
+    every row forever); the rewrite fallback reconstructs the dropped
+    rows from the file itself before rewriting."""
 
     def __init__(self, path, ids, settings_path="", first_step=1, write_header=True,
                  flush_every=16):
@@ -62,14 +67,26 @@ class TssWriter:
 
     def sample(self, step, values):
         step = int(step)
-        self.rows[step] = np.atleast_1d(np.asarray(values, dtype=np.float64))
         if self._written_through is not None and step <= self._written_through:
-            # rewrite path: a step already on disk changed
+            # rewrite path: a step already on disk changed — recover the
+            # rows this buffer already dropped from the file itself
+            self._reload_from_disk()
             self._written_through = None
             self._header_done = False
+        self.rows[step] = np.atleast_1d(np.asarray(values, dtype=np.float64))
         self._pending += 1
         if self._pending >= self.flush_every:
             self.flush()
+
+    def _reload_from_disk(self):
+        try:
+            _, data, steps = read_tss(self.path)
+        except (OSError, ValueError, IndexError):
+            return
+        for st, row in zip(steps, np.atleast_2d(data)):
+            if int(st) not in self.rows:
+                row = np.asarray(row, np.float64)
+                self.rows[int(st)] = np.where(row >= 1e30, np.nan, row)
 
     def _format_row(self, step):
         row = " %8g" % step
@@ -104,3 +121,8 @@ class TssWriter:
                     f.write(self._format_row(step))
         self._header_done = True
         self._written_through = steps[-1] if steps else self._written_through
+        # bound the buffer: everything flushed is recoverable from disk
+        if self._written_through is not None:
+            for s in steps:
+                if s <= self._written_through:
+                    del self.rows[s]

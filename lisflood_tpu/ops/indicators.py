@@ -222,6 +222,6 @@ def groundwater_smooth(cfg, p, lz, land_rows, land_cols, nrows, ncols):
     # subtracted on gw cells only (cover(diffCorr, 0) elsewhere)
     in_area = p["GroundwaterCatch"] != 0      # == is_gw when catchments>0
     diff_sum = jnp.sum(jnp.where(in_area, smooth - lz, 0.0))
-    n_area = jnp.sum(jnp.where(in_area, 1.0, 0.0))
+    n_area = jnp.sum(in_area.astype(lz.dtype))
     corr = 0.1 * jnp.where(n_area > 0, diff_sum / jnp.where(n_area > 0, n_area, 1.0), 0.0)
     return jnp.where(in_area, lz_new - corr, lz_new)

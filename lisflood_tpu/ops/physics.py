@@ -651,7 +651,7 @@ def water_abstraction_step(cfg, p, s, d):
     theta1a = d["Theta1a"].at[iveg].set(w1a_new / p["SoilDepth1a"][iveg])
     theta1b = d["Theta1b"].at[iveg].set(w1b_new / p["SoilDepth1b"][iveg])
 
-    eflow_indicator = jnp.where(d["ChanQ"] < p["EFlowThreshold"], 1.0, 0.0)
+    eflow_indicator = (d["ChanQ"] < p["EFlowThreshold"]).astype(d["ChanQ"].dtype)
 
     out.update({
         "LZ": lz,

@@ -251,9 +251,15 @@ def test_tss_progressive_writing(tmp_path):
     np.testing.assert_array_equal(a[1], b[1])
     np.testing.assert_array_equal(a[2], b[2])
 
+    # memory is bounded: rows on disk are dropped from the in-memory buffer
+    assert len(w.rows) == 0 and len(w2.rows) == 0
+
     # overwriting an already-written step falls back to a full rewrite
+    # (reconstructing the dropped rows from the file itself)
     w.sample(5, [9.0, 9.0, 9.0])
     w.flush()
     ids3, data3, steps3 = read_tss(str(p1))
     assert len(steps3) == 10
     np.testing.assert_array_equal(data3[4], [9.0, 9.0, 9.0])
+    np.testing.assert_array_equal(data3[:4], data[:4])
+    assert len(w.rows) == 0
