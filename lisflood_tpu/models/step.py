@@ -488,6 +488,7 @@ def build_multi_step(cfg, params_np, aux, output_keys=(), dtype=jnp.float64):
 
     multi.impl = multi_impl
     multi.params = p
+    multi.params_arrays = step_fn.params_arrays
     multi.routers = step_fn.routers
     multi.prepare_state = step_fn.prepare_state
     multi.natural_state = step_fn.natural_state

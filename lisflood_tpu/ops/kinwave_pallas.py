@@ -41,11 +41,38 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kinwave_packed import _newton_unrolled
+from .kinwave_packed import NEWTON_TOL, _newton_unrolled, _newton_v
+
+# temporary A/B tuning hooks (scripts/bench_kernel.py); production defaults
+import os as _os
+_PRECS = {"default": jax.lax.Precision.DEFAULT, "high": jax.lax.Precision.HIGH,
+          "highest": jax.lax.Precision.HIGHEST}
+_TUNE_PREC = _PRECS[_os.environ.get("KINP_PREC", "highest")]
+_TUNE_NEWTON = int(_os.environ.get("KINP_NEWTON", "0")) or None
+_TUNE_POLY = _os.environ.get("KINP_POLY", "1") == "1"
 
 
 def _rnd(n, m):
     return ((n + m - 1) // m) * m
+
+
+def _dot_scatter(lhs, onehot, dtype):
+    """f32-exact scatter matmul against a 0/1 selection operand in 3 MXU
+    passes instead of Precision.HIGHEST's 6.
+
+    The one-hot rhs is exactly representable in bf16, so splitting only
+    the lhs into three bf16 terms (8+8+8 = the full 24-bit f32 mantissa;
+    bf16 shares f32's exponent range, making the residuals exact) yields
+    exact per-product values under DEFAULT (bf16 in, f32 accumulate) —
+    the 6-pass lhs x rhs cross-term decomposition is redundant when one
+    side is exact. Measured ~5 ms/step on the continental grid."""
+    t0 = lhs.astype(jnp.bfloat16).astype(dtype)
+    r1 = lhs - t0
+    t1 = r1.astype(jnp.bfloat16).astype(dtype)
+    t2 = r1 - t1
+    dot = lambda a: jax.lax.dot(a, onehot, precision=jax.lax.Precision.DEFAULT,
+                                preferred_element_type=dtype)
+    return dot(t0) + dot(t1) + dot(t2)
 
 
 def build_substep_pallas(cfg, ps, beta, has, interpret=False):
@@ -68,6 +95,11 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
     E = int(cfg.max_no_eva) if eva_chain else 0
     L = 2 if split else 1
     beta = float(beta)
+    # beta = 3/5 (every LISFLOOD configuration: the reference's settings
+    # all bind beta=0.6, routing.py:66) dispatches the polynomial v-space
+    # solver — no transcendentals anywhere in the t-loop; any other beta
+    # keeps the generic q-space Newton
+    poly = abs(beta - 0.6) < 1e-9 and _TUNE_POLY
     dt_r = float(cfg.dt_routing)
     dtype = jnp.float32
     NLp = _rnd(max(cfg.num_lakes, 1), 128) if lakes else 0
@@ -129,6 +161,7 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
     import math
     S = W + 1
     B = 8 * S // math.gcd(8, S)
+    B = B * int(_os.environ.get("KINP_BMULT", "1"))
     n_blocks = (n_chunks + B - 1) // B
 
     def kernel(*refs):
@@ -205,9 +238,7 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                         Q_ev[t:t + 1, :] = ev_it
                 onehot_e = (ev_dl[:, None] == jax.lax.broadcasted_iota(
                     jnp.int32, (C, W * C), 1)).astype(dtype)
-                add_e = jax.lax.dot(Q_ev[:], onehot_e,
-                                    precision=jax.lax.Precision.HIGHEST,
-                                    preferred_element_type=dtype)
+                add_e = _dot_scatter(Q_ev[:], onehot_e, dtype)
                 for k in range(W):
                     sk = (b + 1 + k) % S
                     # hop-t transfers arrive for hop t+1 (window row t+1)
@@ -275,7 +306,7 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                                == lane_col).astype(dtype)
                     side_add[0:Tp, :] = side_add[0:Tp, :] + jax.lax.dot(
                         qout_lake[:], sel_mat,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=_TUNE_PREC,
                         preferred_element_type=dtype)
 
             if reservoirs:
@@ -333,22 +364,36 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                                == lane_col).astype(dtype)
                     side_add[0:Tp, :] = side_add[0:Tp, :] + jax.lax.dot(
                         qout_res[:], sel_mat,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=_TUNE_PREC,
                         preferred_element_type=dtype)
 
             # ---- the routing sub-step loop ----
-            def substep(t, carry):
-                # t is a PYTHON int (unrolled loop): all window/Q indices
-                # must be static — Mosaic requires 8-aligned dynamic
-                # sublane offsets, which t*L is not
-                q1, m31, chanq, q2, m32, cross2, side1, sumdis, trans_acc = carry
-                sideflow_m3 = x["ToChan"]
-                if has.get("eva"):
-                    sideflow_m3 = sideflow_m3 - x["eva"]
-                if eva_chain:
-                    sideflow_m3 = sideflow_m3 - eva_dt
-                if has.get("wuse"):
-                    sideflow_m3 = sideflow_m3 - x["wuse"]
+            # t-invariant hoists (bit-identical: same fp association order
+            # as the in-loop originals, just computed once per chunk)
+            sf_base = x["ToChan"]
+            if has.get("eva"):
+                sf_base = sf_base - x["eva"]
+            if eva_chain:
+                sf_base = sf_base - eva_dt
+            if has.get("wuse"):
+                sf_base = sf_base - x["wuse"]
+            if split:
+                adx = jnp.concatenate([x["adx1"], x["adx2"]], axis=0)
+                c2q_dx = x["chan2qstart"] * inv_dx
+            if poly:
+                # carried q^beta values; sub-step 0 seeds from the state
+                # (the same pow the generic path computes at t=0)
+                qb1_c = x["q1_0"] ** beta
+                if split:
+                    qb2_c = x["q2_0"] ** beta
+                    # lane-2 clamp floor: when M3 clamps to Chan2M3Start the
+                    # generic path's round-trip yields these t-invariant
+                    # values EXACTLY (same expression of the same params)
+                    q2_floor = (x["chan2m3start"] * inv_dx / x["alpha2"]) ** (1 / beta)
+                    qb2_floor = x["chan2m3start"] * inv_dx / x["alpha2"]
+
+            def assemble_sideflow(t, chanq, trans_acc):
+                sideflow_m3 = sf_base
                 if has.get("qin_old"):
                     sideflow_m3 = sideflow_m3 + (x["qin_old"] + float(t + 1) * x["qdelta"]) / T
                 if has.get("uptrans"):
@@ -360,33 +405,41 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                     trans_acc = trans_acc + trans_loss_m3
                 if lakes or reservoirs:
                     sideflow_m3 = sideflow_m3 + side_add[t:t + 1, :]
-
                 sideflow = jnp.where(x["ischan"] != 0,
                                      sideflow_m3 * inv_dx / cfg.dt_routing, 0.0)
-                sideflow = jnp.where(jnp.isnan(sideflow), 0.0, sideflow)
+                return jnp.where(jnp.isnan(sideflow), 0.0, sideflow), trans_acc
 
+            def split_assembly(sideflow, m31, m32):
+                ratio_den = m31 + m32
+                sideflow_ratio = jnp.where(
+                    ratio_den > 0, m31 / jnp.where(ratio_den > 0, ratio_den, 1.0), 0.0)
+                over_limit = (m31 + m32 - x["chan2m3start"]) > x["m3limit"]
+                sideflow1 = jnp.where(over_limit, sideflow_ratio * sideflow, sideflow)
+                sideflow1 = jnp.where(jnp.abs(sideflow) < 1e-7, sideflow, sideflow1)
+                sideflow2 = sideflow - sideflow1 + c2q_dx
+                return sideflow1, sideflow2
+
+            def substep(t, carry):
+                # t is a PYTHON int (unrolled loop): all window/Q indices
+                # must be static — Mosaic requires 8-aligned dynamic
+                # sublane offsets, which t*L is not
+                q1, m31, chanq, q2, m32, side1, sumdis, trans_acc = carry
+                sideflow, trans_acc = assemble_sideflow(t, chanq, trans_acc)
                 if not split:
                     ups = win[t:t + 1, sc * C:(sc + 1) * C]
                     cc_const = ups + x["adx1"] * q1 ** beta + sideflow * x["dx"]
-                    q = _newton_unrolled(cc_const, x["adx1"], beta)
+                    q = _newton_unrolled(cc_const, x["adx1"], beta, iters=_TUNE_NEWTON)
                     Q[t:t + 1, :] = q
                     m31 = jnp.maximum(x["dx"] * x["alpha1"] * q ** beta, 0.0)
                     q1 = (m31 * inv_dx / x["alpha1"]) ** (1 / beta)
                     chanq = q1
                 else:
-                    ratio_den = m31 + m32
-                    sideflow_ratio = jnp.where(
-                        ratio_den > 0, m31 / jnp.where(ratio_den > 0, ratio_den, 1.0), 0.0)
-                    over_limit = (m31 + m32 - x["chan2m3start"]) > x["m3limit"]
-                    sideflow1 = jnp.where(over_limit, sideflow_ratio * sideflow, sideflow)
-                    sideflow1 = jnp.where(jnp.abs(sideflow) < 1e-7, sideflow, sideflow1)
-                    sideflow2 = sideflow - sideflow1 + x["chan2qstart"] * inv_dx
+                    sideflow1, sideflow2 = split_assembly(sideflow, m31, m32)
                     q_in = jnp.concatenate([q1, q2], axis=0)
                     lat = jnp.concatenate([sideflow1, sideflow2], axis=0) * x["dx"]
-                    adx = jnp.concatenate([x["adx1"], x["adx2"]], axis=0)
                     ups = win[t * L:(t + 1) * L, sc * C:(sc + 1) * C]
                     cc_const = ups + adx * q_in ** beta + lat
-                    q = _newton_unrolled(cc_const, adx, beta)
+                    q = _newton_unrolled(cc_const, adx, beta, iters=_TUNE_NEWTON)
                     Q[t * L:(t + 1) * L, :] = q
                     q1v, q2v = q[0:1], q[1:2]
                     m31 = jnp.maximum(x["dx"] * x["alpha1"] * q1v ** beta, 0.0)
@@ -394,22 +447,78 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                     m32 = x["dx"] * x["alpha2"] * q2v ** beta
                     m32 = jnp.where(m32 - x["chan2m3start"] < 0.0, x["chan2m3start"], m32)
                     q2 = (m32 * inv_dx / x["alpha2"]) ** (1 / beta)
-                    cross2 = (m32 - x["chan2m3start"]) * inv_dx
                     chanq = jnp.maximum(q1 + q2 - x["qlimit"], 0.0)
                     side1 = sideflow1
                 if lakes or reservoirs:
                     chanq_buf[t:t + 1, :] = chanq
                 sumdis = sumdis + chanq
-                return (q1, m31, chanq, q2, m32, cross2, side1, sumdis, trans_acc)
+                return (q1, m31, chanq, q2, m32, side1, sumdis, trans_acc)
+
+            def substep_poly(t, carry):
+                # beta = 3/5 specialization: v = q^(1/5) polynomial Newton
+                # (kinwave_packed._newton_v) — v^3 = q^0.6 and v^5 = q fall
+                # out of the iterate, eliminating every in-loop pow (the
+                # generic path spends ~11 transcendental vector-ops per
+                # sub-step; this one spends zero)
+                qb1, q1, m31, chanq, qb2, q2, m32, side1, sumdis, trans_acc = carry
+                sideflow, trans_acc = assemble_sideflow(t, chanq, trans_acc)
+                if not split:
+                    ups = win[t:t + 1, sc * C:(sc + 1) * C]
+                    cc_const = ups + x["adx1"] * qb1 + sideflow * x["dx"]
+                    small = cc_const <= NEWTON_TOL
+                    v = _newton_v(jnp.where(small, 1.0, cc_const), x["adx1"])
+                    v3 = v * v * v
+                    qb1 = jnp.where(small, 0.0, v3)
+                    q = jnp.where(small, 0.0, v3 * v * v)
+                    Q[t:t + 1, :] = q
+                    m31 = x["dx"] * x["alpha1"] * qb1
+                    q1 = q
+                    chanq = q
+                else:
+                    sideflow1, sideflow2 = split_assembly(sideflow, m31, m32)
+                    qb = jnp.concatenate([qb1, qb2], axis=0)
+                    lat = jnp.concatenate([sideflow1, sideflow2], axis=0) * x["dx"]
+                    ups = win[t * L:(t + 1) * L, sc * C:(sc + 1) * C]
+                    cc_const = ups + adx * qb + lat
+                    small = cc_const <= NEWTON_TOL
+                    v = _newton_v(jnp.where(small, 1.0, cc_const), adx)
+                    v3 = v * v * v
+                    qb_n = jnp.where(small, 0.0, v3)
+                    q = jnp.where(small, 0.0, v3 * v * v)
+                    Q[t * L:(t + 1) * L, :] = q
+                    qb1, q1 = qb_n[0:1], q[0:1]
+                    m31 = x["dx"] * x["alpha1"] * qb1
+                    m32r = x["dx"] * x["alpha2"] * qb_n[1:2]
+                    clamp2 = m32r - x["chan2m3start"] < 0.0
+                    m32 = jnp.where(clamp2, x["chan2m3start"], m32r)
+                    q2 = jnp.where(clamp2, q2_floor, q[1:2])
+                    qb2 = jnp.where(clamp2, qb2_floor, qb_n[1:2])
+                    chanq = jnp.maximum(q1 + q2 - x["qlimit"], 0.0)
+                    side1 = sideflow1
+                if lakes or reservoirs:
+                    chanq_buf[t:t + 1, :] = chanq
+                sumdis = sumdis + chanq
+                return (qb1, q1, m31, chanq, qb2, q2, m32, side1, sumdis, trans_acc)
 
             zero = jnp.zeros((1, C), dtype)
-            init = (x["q1_0"], x["m31_0"], x["chanq_0"],
-                    x["q2_0"] if split else zero, x["m32_0"] if split else zero,
-                    zero, zero, zero, zero)
-            carry = init
-            for t in range(T):
-                carry = substep(t, carry)
-            q1, m31, chanq, q2, m32, cross2, side1, sumdis, trans_acc = carry
+            if poly:
+                carry = (qb1_c, x["q1_0"], x["m31_0"], x["chanq_0"],
+                         qb2_c if split else zero, x["q2_0"] if split else zero,
+                         x["m32_0"] if split else zero, zero, zero, zero)
+                for t in range(T):
+                    carry = substep_poly(t, carry)
+                _, q1, m31, chanq, _, q2, m32, side1, sumdis, trans_acc = carry
+            else:
+                carry = (x["q1_0"], x["m31_0"], x["chanq_0"],
+                         x["q2_0"] if split else zero, x["m32_0"] if split else zero,
+                         zero, zero, zero)
+                for t in range(T):
+                    carry = substep(t, carry)
+                q1, m31, chanq, q2, m32, side1, sumdis, trans_acc = carry
+            # CrossSection2Area is carried-and-overwritten in the reference
+            # loop (routing.py:585): only the final sub-step's value
+            # survives, so compute it once here (identical inputs)
+            cross2 = (m32 - x["chan2m3start"]) * inv_dx if split else zero
 
             # shared scatter for all T sub-steps (VMEM one-hot, MXU matmul):
             # window-local offset k*C+lane targets chunk c+1+k -> slot
@@ -417,8 +526,7 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
             # and a zero of the vacated slot
             onehot = (dl[:, None] == jax.lax.broadcasted_iota(
                 jnp.int32, (C, W * C), 1)).astype(dtype)
-            add = jax.lax.dot(Q[:], onehot, precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=dtype)
+            add = _dot_scatter(Q[:], onehot, dtype)
             for k in range(W):
                 sk = (b + 1 + k) % S
                 win[:, sk * C:(sk + 1) * C] = (
@@ -438,7 +546,7 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                     for k in range(8):
                         M = M + (iota_c == fee_lane[k:k + 1, :]).astype(dtype) * fee_w[k:k + 1, :]
                     contrib = jax.lax.dot(chanq_buf[:], M,
-                                          precision=jax.lax.Precision.HIGHEST,
+                                          precision=_TUNE_PREC,
                                           preferred_element_type=dtype)   # (Tp, NLp)
                     # rows 0..T-1 of chanq_buf are sub-steps 0..T-1; a
                     # structure at sub-step t consumes buf row t (= feeder
@@ -454,7 +562,7 @@ def build_substep_pallas(cfg, ps, beta, has, interpret=False):
                     for k in range(8):
                         M = M + (iota_c == fee_lane[k:k + 1, :]).astype(dtype) * fee_w[k:k + 1, :]
                     contrib = jax.lax.dot(chanq_buf[:], M,
-                                          precision=jax.lax.Precision.HIGHEST,
+                                          precision=_TUNE_PREC,
                                           preferred_element_type=dtype)
                     buf_res[1:Tp, :] = buf_res[1:Tp, :] + contrib[0:Tp - 1, :]
 

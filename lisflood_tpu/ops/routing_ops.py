@@ -578,7 +578,7 @@ def channel_routing_pipelined(cfg, p, s, d, routers):
     reservoirs = cfg.simulate_reservoirs and not cfg.init_lisflood
     L = 2 if split else 1
 
-    from .kinwave_packed import _newton_unrolled
+    from .kinwave_packed import newton_solve
 
     c2 = lambda x: x.reshape(n_chunks, C)
     # static per-chunk operands, consumed as scan xs
@@ -724,7 +724,7 @@ def channel_routing_pipelined(cfg, p, s, d, routers):
                 adx = jnp.stack([x["adx1"], x["adx2"]])
 
             cc_const = c["win"][t, :, :C] + adx * q_in ** beta + lat
-            q = _newton_unrolled(cc_const, adx, beta)          # (L, C)
+            q = newton_solve(cc_const, adx, beta)              # (L, C)
             q_rows.append(q)
 
             if not split:
@@ -819,22 +819,18 @@ def channel_routing_pipelined(cfg, p, s, d, routers):
     return _post_routing(cfg, p, s, d, out_carry, s["ChanQKin"].dtype)
 
 
-def channel_routing_pallas(cfg, p, s, d, routers):
-    """Sub-step loop on the fused Mosaic kernel (ops/kinwave_pallas.py),
-    structures included.
-
-    Selected by RoutingPipeline=pallas (or auto on TPU) for float32 runs;
-    f64 parity runs fall back to the XLA paths — channel_routing
-    dispatches accordingly."""
-    from .kinwave_pallas import build_substep_pallas, _rnd
+def pallas_operands(cfg, p, s, d, routers):
+    """Chunk-major operand dict + option flags for the Mosaic sub-step
+    kernel (ops/kinwave_pallas.py). Split out of channel_routing_pallas so
+    the kernel can be benchmarked/tuned in isolation on real shapes
+    (scripts/bench_kernel.py)."""
+    from .kinwave_pallas import _rnd
 
     packed_state = "pk$ChanQKin" in s
-    dtype = (s["pk$ChanQKin"] if packed_state else s["ChanQKin"]).dtype
     kin = routers["kin"]
     ps = kin.ps
     pk = lambda name: p["kinp$" + name]
     pack = kin.pack
-    unpack = kin.unpack
     spk = (lambda k: s["pk$" + k]) if packed_state else (lambda k: pack(s[k]))
     T = cfg.no_rout_steps
     C = ps.chunk
@@ -970,7 +966,32 @@ def channel_routing_pallas(cfg, p, s, d, routers):
             "rs_buf0": row((spk("ChanQ")[pk("ResUpsIdx")]
                             * pk("ResUpsW")).sum(1), nr, NRp),
         })
+    return xs, has
 
+
+def channel_routing_pallas(cfg, p, s, d, routers):
+    """Sub-step loop on the fused Mosaic kernel (ops/kinwave_pallas.py),
+    structures included.
+
+    Selected by RoutingPipeline=pallas (or auto on TPU) for float32 runs;
+    f64 parity runs fall back to the XLA paths — channel_routing
+    dispatches accordingly."""
+    from .kinwave_pallas import build_substep_pallas
+
+    packed_state = "pk$ChanQKin" in s
+    dtype = (s["pk$ChanQKin"] if packed_state else s["ChanQKin"]).dtype
+    kin = routers["kin"]
+    ps = kin.ps
+    pk = lambda name: p["kinp$" + name]
+    unpack = kin.unpack
+    spk = (lambda k: s["pk$" + k]) if packed_state else (lambda k: kin.pack(s[k]))
+    T = cfg.no_rout_steps
+    split = cfg.split_routing and not cfg.init_lisflood
+    lakes = cfg.simulate_lakes and not cfg.init_lisflood
+    reservoirs = cfg.simulate_reservoirs and not cfg.init_lisflood
+    eva_chain = "EvaUpstream0" in d
+
+    xs, has = pallas_operands(cfg, p, s, d, routers)
     interpret = jax.devices()[0].platform != "tpu"
     run = build_substep_pallas(cfg, ps, float(p["Beta"]), has, interpret=interpret)
     ys = run(xs)

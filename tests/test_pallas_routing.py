@@ -43,13 +43,19 @@ def test_pallas_substep_loop_equivalent():
     # (Chan2M3Kin - Chan2M3Start)/dx with near-equal operands, and
     # Sideflow1Chan lives at ~1e-3 magnitudes — the XLA substeps-vs-
     # chunk-major comparison shows the same two keys elevated at the
-    # same level (float32 noise floor measured on the real chip)
+    # same level (float32 noise floor measured on the real chip).
+    # Default gate 3e-5: the Mosaic kernel eliminates the per-sub-step
+    # M3<->Q round-trip pows via the v^3/v^5 identities (kinwave_pallas
+    # substep_poly) while the substeps partner keeps the reference
+    # round-trips, so the two differ by ~1 ulp per sub-step compounding to
+    # a measured 1.02e-5 on ChanQ here; a real divergence (wrong window
+    # slot, mis-scattered lane) shows at >=1e-2
     loose = {"CrossSection2Area": 1e-2, "Sideflow1Chan": 1e-2}
     for k in states["substeps"]:
         a = np.asarray(states["substeps"][k])
         b = np.asarray(states["pallas"][k])
         scale = max(np.abs(a).max(), 1e-30)
-        tol = loose.get(k, 1e-5)
+        tol = loose.get(k, 3e-5)
         assert np.abs(a - b).max() / scale < tol, \
             f"{k}: {np.abs(a - b).max() / scale}"
 
@@ -88,13 +94,16 @@ def test_pallas_substep_loop_equivalent_structures():
     loose = {"Sideflow1Chan": 1e-2}
     checked = 0
     # two-step f32 noise floor: the XLA-only substeps-vs-diagonal comparison
-    # of this exact configuration shows 1.6e-5 on ChanQ (measured), so 5e-5
-    # is the tightest gate that distinguishes noise from a real divergence
+    # of this exact configuration shows 1.6e-5 on ChanQ (measured), and the
+    # Mosaic kernel's round-trip-pow elimination (see the non-structures
+    # test's gate comment) adds ~1 ulp/sub-step of legitimate divergence —
+    # measured 7.1e-5 over the two chained steps here. 1.5e-4 is the
+    # tightest gate clear of that floor; real divergences show at >=1e-2
     for k in states["substeps"]:
         a = np.asarray(states["substeps"][k])
         b = np.asarray(states["pallas"][k])
         scale = scales.get(k, max(np.abs(a).max(), 1e-30))
-        tol = loose.get(k, 5e-5)
+        tol = loose.get(k, 1.5e-4)
         assert np.abs(a - b).max() / scale < tol, \
             f"{k}: {np.abs(a - b).max() / scale}"
         checked += 1
