@@ -55,11 +55,13 @@ class ModelConfig:
     # fewer sequential iterations), or 'pallas' (fused Mosaic kernel)
     routing_pipeline: str = "auto"
     # open-water evaporation chain formulation: the 2-D LDD stencil form
-    # (ops/physics.scatter_down_stencil) wins in isolation but measured
-    # +27 ms/step SLOWER than the segment-sum scatter inside the full
-    # continental step graph (XLA scheduling interaction) — default off,
-    # selectable via the EvaStencil binding for small/latency-bound grids
-    eva_stencil: bool = False
+    # (ops/physics.scatter_down_stencil) measured +27 ms/step SLOWER than
+    # the segment-sum scatter inside the full continental step graph (XLA
+    # scheduling interaction) but 7% FASTER on the latency-bound ETRS89
+    # catchment (2.66 vs 2.85 ms/step) — 'auto' (default) picks the
+    # stencil on small grids only; the EvaStencil binding forces it
+    # (True/False). Both forms are equivalence-gated (test_graph.py).
+    eva_stencil: object = "auto"
     # discretisation
     no_rout_steps: int = 24
     dt_sec: float = 86400.0
@@ -76,6 +78,22 @@ class ModelConfig:
     # data-dependent in the reference (soilloop.py:249); the loop runs to the
     # runtime max via lax.while_loop, this is only a hard safety cap
     max_soil_substeps: int = 100
+
+    @property
+    def use_eva_stencil(self):
+        # 'auto': the stencil wins only where kernel-launch latency
+        # dominates (small grids on an accelerator — measured 2.66 vs
+        # 2.85 ms/step on ETRS89-TPU, +27 ms/step LOSS at continental
+        # scale); the crossover is well above the ETRS89 scale and well
+        # below continental — 2e5 pixels splits them. CPU runs (where the
+        # f64 golden artifacts are pinned) keep the segment-sum form so
+        # the 1e-12 golden gates stay summation-order-exact.
+        if self.eva_stencil == "auto":
+            if not (0 < self.num_pixels <= 200_000):
+                return False
+            import jax
+            return jax.default_backend() != "cpu"
+        return bool(self.eva_stencil)
 
     @property
     def dt_day(self):
@@ -125,7 +143,8 @@ class ModelConfig:
                            if str(settings.binding.get("RoutingKernel", "packed")) == "sharded"
                            else 1),
             routing_pipeline=str(settings.binding.get("RoutingPipeline", "auto")),
-            eva_stencil=str(settings.binding.get("EvaStencil", "False")) == "True",
+            eva_stencil={"True": True, "False": False}.get(
+                str(settings.binding.get("EvaStencil", "auto")), "auto"),
             no_rout_steps=no_rout,
             dt_sec=dt_sec,
         )

@@ -830,7 +830,7 @@ def scatter_down_stencil(x, codes2d, land_idx, nrows, ncols):
 def evapowater_step(cfg, p, s, d):
     """Open-water evaporation moved downstream (evapowater.py:123-159)."""
     P = cfg.num_pixels
-    if (cfg.eva_stencil and "evaDir2D" in p
+    if (cfg.use_eva_stencil and "evaDir2D" in p
             and cfg.grid_rows and cfg.grid_cols):
         move_down = lambda x: scatter_down_stencil(
             x, p["evaDir2D"], p["landIdx"], cfg.grid_rows, cfg.grid_cols)
