@@ -44,8 +44,52 @@ def test_latlon_short_vs_oracle():
     rel = np.abs(ours - ref) / np.abs(ref)
     # step 1 barely depends on the synthesized evaporation forcing
     assert rel[0] < 5e-3, f"first-step discharge off by {rel[0]:.2%}"
-    assert rel.max() < 0.10, f"max relative error {rel.max():.2%}"
-    assert np.corrcoef(ours, ref)[0, 1] > 0.95
+    # tightened round 5 after the calibrated forcing pinned the envelope:
+    # measured max_rel=0.0563 / corr=0.9875 (2026-08-22, TPU, auto
+    # stencil) — a sideflow-scale regression of ~2% now trips the gate
+    # (the round-4 10% gate would have passed an ~8% one)
+    assert rel.max() < 0.07, f"max relative error {rel.max():.2%}"
+    assert np.corrcoef(ours, ref)[0, 1] > 0.97
+
+
+@pytest.mark.slow
+def test_latlon_long_drift_envelope():
+    """32-year endurance run vs the committed dis_long.tss (reference
+    tests/test_latlon.py TestLatLonLong: 02/01/1986 -> 01/01/2018). The
+    only multi-decade state-drift check available in this environment:
+    with synthesized (calibrated) ta/e0 the day-scale peaks cannot match,
+    so the gates are monthly-mean envelope + long-term and final-year
+    bias — a slow LZ/lake/channel state drift (the class of bug nothing
+    shorter exercises) shows up as a growing final-year bias.
+
+    Pinned from the 2026-08-22 measurement (TPU, auto stencil):
+    monthly p95=0.0788, corr=0.9495, bias=-0.0406, final_year=-0.0564.
+
+    ~25 min wall on the tunnel-attached TPU (mostly forcing I/O), hours
+    on CPU — run only where an accelerator is available or when
+    LATLON_LONG=1 forces it.
+    """
+    import jax
+    if jax.default_backend() == "cpu" and not os.environ.get("LATLON_LONG"):
+        pytest.skip("32-year run needs an accelerator (set LATLON_LONG=1 to force)")
+    if not os.path.isdir(CASE):
+        pytest.skip("reference lat-lon case not available")
+    import re
+    r = subprocess.run([sys.executable, os.path.join(REPO, "scripts", "run_latlon.py"),
+                        "long"],
+                       capture_output=True, text=True, timeout=3600)
+    assert "LONG PASS" in r.stdout, r.stdout[-3000:] + r.stderr[-2000:]
+    m = re.search(r"long: n=(\d+) monthly max_rel=([\d.]+) p95=([\d.]+) "
+                  r"mean=([\d.]+) corr=([\d.]+) bias=([+-][\d.]+) "
+                  r"final_year_bias=([+-][\d.]+)", r.stdout)
+    assert m, r.stdout[-2000:]
+    n, max_rel, p95, mean_rel, corr, bias, final_bias = (
+        int(m.group(1)),) + tuple(map(float, m.groups()[1:]))
+    assert n >= 11680, f"run truncated at {n} steps"
+    assert p95 < 0.12, f"monthly p95 rel {p95}"
+    assert corr > 0.93, f"monthly corr {corr}"
+    assert abs(bias) < 0.08, f"long-term bias {bias}"
+    assert abs(final_bias) < 0.10, f"final-year bias {final_bias}"
 
 
 @pytest.mark.slow
